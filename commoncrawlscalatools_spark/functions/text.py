@@ -1,0 +1,185 @@
+"""Text analysis column functions: keyword counting, tokenization, shingles,
+quality scoring, language-ID heuristic, fingerprints.
+
+Reference semantics re-expressed as native Catalyst expressions:
+  * ciMatch (case-insensitive substring count,
+    FourForumsWARCStreamFilter.scala:294-323) → F.regexp_count with (?i).
+  * stopword-anchored murmur shingles (createCorpus.scala:70-152) →
+    word-window shingles hashed JVM-side; see also operators/dedup.py.
+  * subword counter (getSubwordsFromWETRecords.scala:21-59) → explode +
+    startswith/endswith.
+
+All hashes that must be reproducible in an external oracle use an
+md5-derived 32-bit integer (`md5_hash32`) — md5 is bit-identical across
+engines; xxhash64 is used where only Spark-internal determinism matters
+(it is faster and JVM-native).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# 27-word stopword list used by the reference shingler
+# (createCorpus.scala:111-121); reused for quality scoring.
+STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
+    "the", "their", "then", "there", "these", "they", "this", "to", "was",
+    "will", "with",
+]
+
+# BPE-ish word/number/punct tokenizer (public GPT-2-style pattern, simplified
+# to what both Spark and an ANSI-SQL oracle can run).
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+MOD = 1_000_000_007
+
+
+def ci_count(text: Column, keyword: str) -> Column:
+    """Case-insensitive substring occurrence count (reference ciMatch)."""
+    import re as _re
+
+    return F.regexp_count(text, F.lit("(?i)" + _re.escape(keyword)))
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization; drops empty tokens."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """Token count under the BPE-ish regex tokenizer."""
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_RE), 0))
+
+
+def md5_hash32(s: Column) -> Column:
+    """Deterministic 32-bit-range hash reproducible in any engine with md5:
+    first 8 hex chars of md5 as a bigint. Used only where an external SQL
+    oracle must reproduce the value; hot paths use xxhash64."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """All word n-grams as strings, in document order."""
+    toks = ws_tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def ngram_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct hashed word n-gram shingles (oracle-reproducible hash)."""
+    return F.array_distinct(F.transform(word_ngrams(text, n), md5_hash32))
+
+
+def stopword_anchored_shingles(text: Column, width: int = 6) -> Column:
+    """Reference shingler (createCorpus.scala:111-152): at each stopword
+    position, hash the next `width` tokens; distinct. Hashed with xxhash64
+    (reference used MurmurHash3 seed 0 — any stable 64-bit hash preserves
+    the dedup semantics)."""
+    toks = ws_tokens(text)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(0)))
+    windows = F.transform(
+        idx,
+        lambda i: F.when(
+            F.array_contains(sw, F.lower(F.element_at(toks, i))),
+            F.array_join(F.slice(toks, i, width), " "),
+        ),
+    )
+    return F.array_distinct(
+        F.transform(F.filter(windows, lambda w: w.isNotNull()), lambda w: F.xxhash64(w, F.lit(0)))
+    )
+
+
+def alpha_ratio(text: Column) -> Column:
+    n = F.length(text)
+    a = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    return F.when(n > 0, a.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def digit_ratio(text: Column) -> Column:
+    n = F.length(text)
+    d = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    return F.when(n > 0, d.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = ws_tokens(F.lower(text))
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document quality in [0,1]: favors alphabetic, lightly
+    numeric text of reasonable length with a natural stopword ratio —
+    the same signals the reference cleaner keys on
+    (PrepareDocument.scala keepLine: >5 tokens, >65% alnum, <30% numeric)."""
+    ntok = token_count_ws(text).cast("double")
+    len_score = F.least(ntok / F.lit(100.0), F.lit(1.0))
+    alpha = alpha_ratio(text)
+    digit_pen = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio(text) * 3)
+    sw = stopword_ratio(text)
+    sw_score = F.lit(1.0) - F.abs(sw - F.lit(0.4)) / F.lit(0.4)
+    sw_score = F.greatest(F.lit(0.0), F.least(sw_score, F.lit(1.0)))
+    return F.round(
+        len_score * 0.25 + alpha * 0.35 + digit_pen * 0.15 + sw_score * 0.25, 6
+    )
+
+
+# Marker function words per language for the n-gram-free language-ID
+# heuristic (deterministic, oracle-reproducible).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with"],
+    "es": ["el", "la", "los", "las", "que", "de", "una"],
+    "fr": ["le", "les", "des", "une", "est", "dans", "avec"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit"],
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    toks = ws_tokens(F.lower(text))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language with deterministic tie-break (alphabetical language
+    code order; 'und' when no marker matches)."""
+    scores = lang_scores(text)
+    langs = sorted(scores)
+    best = scores[langs[0]]
+    for lg in langs[1:]:
+        best = F.greatest(best, scores[lg])
+    expr = F.lit("und")
+    for lg in reversed(langs):
+        expr = F.when((scores[lg] > 0) & (scores[lg] == best), F.lit(lg)).otherwise(expr)
+    return expr
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    whitespace tokens (reference F3 used per-line md5 for dup detection —
+    PrepareDocument.scala:66-72)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(ws_tokens(text))), " "))
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash over whitespace tokens, mod 1e9+7. Each token
+    contributes its oracle-reproducible md5_hash32; the fold is
+    acc = (acc*31 + h(tok)) % MOD — expressible in ANSI SQL via list_reduce."""
+    toks = ws_tokens(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + md5_hash32(x)) % MOD,
+    )

@@ -1,0 +1,84 @@
+"""URL canonicalization, host/TLD extraction, URL hashing.
+
+Reference semantics: Top-Level-Domain derivation on ingest
+(/root/reference/warcparser/.../WARCConversion.scala:175-185 — garbage URI
+yields no TLD) generalized, per the north rule, to full URL canonicalization:
+lowercase scheme+host, strip fragment, strip default port, sort query params.
+
+Everything here is a pure Catalyst column expression — no Python UDFs — so
+it whole-stage-codegens, pushes through shuffles, and is identical at any
+parallelism. xxhash64 (built into Spark, seed 42 by default — we pin seed 0
+explicitly) provides the 64-bit URL hash used for frontier partitioning,
+URL-seen membership and deterministic tie-breaking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_HOSTPORT_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)"
+
+
+def url_scheme(url: Column) -> Column:
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def url_hostport(url: Column) -> Column:
+    return F.regexp_extract(url, _HOSTPORT_RE, 1)
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host, port and userinfo stripped; '' when malformed."""
+    hostport = url_hostport(url)
+    no_user = F.element_at(F.split(hostport, "@"), -1)
+    return F.lower(F.regexp_extract(no_user, r"^([^:]+)", 1))
+
+
+def url_tld(url: Column) -> Column:
+    """Last dot-label of the host; NULL for malformed URIs (reference:
+    WARCConversionSpec.scala:133-159 expects garbage URI → no TLD)."""
+    host = url_host(url)
+    return F.when(host != "", F.element_at(F.split(host, r"\."), -1)).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form: lowercase scheme+host, userinfo kept out of host
+    comparison, default ports (http:80 / https:443) stripped, fragment
+    dropped, empty path → '/', query params sorted lexicographically.
+
+    Returns NULL for URLs with no scheme://host structure (malformed).
+    """
+    trimmed = F.trim(url)
+    no_frag = F.regexp_replace(trimmed, "#.*", "")
+    scheme = url_scheme(no_frag)
+    hostport = F.element_at(F.split(url_hostport(no_frag), "@"), -1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when((port != "") & ~default_port, F.concat(F.lit(":"), port)).otherwise(
+        F.lit("")
+    )
+    path = F.regexp_extract(no_frag, _PATH_RE, 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
+    q_sorted = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")), "&"
+    )
+    q_part = F.when(q_sorted != "", F.concat(F.lit("?"), q_sorted)).otherwise(F.lit(""))
+    out = F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
+    return F.when((scheme != "") & (host != ""), out).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+def url_hash(canonical: Column) -> Column:
+    """64-bit deterministic hash of the canonical URL (JVM-side xxhash64,
+    pinned seed). This is the frontier partitioning + tie-break key."""
+    return F.xxhash64(canonical, F.lit(0))

@@ -1,0 +1,302 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Reference pipeline (createCorpus.scala:337-465, SURVEY.md §2.9): stopword-
+anchored shingles → MinHashLSH(64) → explode hashes → inverted index →
+similarity = shared-hash-count/64 > 0.1 → per-duplicate-set winner by
+relevance → broadcast anti-join of discards.
+
+This implementation is pure DataFrame (no pyspark.ml, no driver collects):
+  * Hash family is deterministic and engine-reproducible: per-shingle base
+    hash = md5-derived 32-bit int; permutation i is
+    (a_i·x + b_i) mod p, a_i = 2i+1, b_i = 12345i+7, p = 2^31−1 —
+    closed-form constants, no RNG state, so an external SQL oracle and any
+    executor count produce identical signatures.
+  * LSH banding replaces the reference's driver-side bucket walk: explode
+    (band_id, band_key) → shuffle-join docs sharing a band → exact Jaccard
+    verify. One shuffle on the band key; candidates only (never all pairs).
+  * Winner selection is distributed (max_by per group / pairwise dominance),
+    replacing the reference's collect-to-driver maps
+    (createCorpus.scala:416-442 → SURVEY.md A8 "avoid").
+
+Scale notes (100 TB): shingling and signatures are narrow, codegen'd
+per-row work; the only shuffles are the band-key self-join (bounded by
+band collision rate) and the final anti-join. Hot buckets (boilerplate
+shingles) are capped via `max_bucket` salting guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from commoncrawlscalatools_spark.functions.text import (
+    md5_hash32,
+    ngram_shingles,
+    ws_tokens,
+)
+
+P31 = (1 << 31) - 1
+NUM_PERM = 64  # reference: 64 hash tables, createCorpus.scala:376
+
+
+def perm_params(i: int) -> tuple[int, int]:
+    """Closed-form permutation constants (documented above; no RNG)."""
+    return 2 * i + 1, 12345 * i + 7
+
+
+def minhash_signature(shingles: Column, num_perm: int = NUM_PERM) -> list[Column]:
+    """num_perm min-hash values; NULL-safe (empty shingle set → p, sentinel)."""
+    sig = []
+    for i in range(num_perm):
+        a, b = perm_params(i)
+        h = F.array_min(F.transform(shingles, lambda x: (x * a + b) % P31))
+        sig.append(F.coalesce(h, F.lit(P31)).alias(f"mh_{i}"))
+    return sig
+
+
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    relevance_col: str | None = None,
+) -> DataFrame:
+    """Keep one winner per identical content hash. Winner = highest
+    relevance, ties by smallest id (reference mostRelevant,
+    createCorpus.scala:205-219). One hash-aggregate shuffle; map-side
+    partial aggregation applies."""
+    fp = F.md5(F.col(text_col)).alias("content_hash")
+    keyed = df.withColumn("content_hash", fp)
+    if relevance_col:
+        order = F.struct(
+            F.col(relevance_col).alias("r"), (-F.col(id_col)).alias("i")
+        )
+        winners = keyed.groupBy("content_hash").agg(
+            F.max_by(id_col, order).alias(id_col)
+        )
+    else:
+        winners = keyed.groupBy("content_hash").agg(F.min(id_col).alias(id_col))
+    return keyed.join(winners, ["content_hash", id_col], "left_semi").drop(
+        "content_hash"
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    id_col: str = "doc_id",
+    num_perm: int = NUM_PERM,
+    bands: int = 16,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    Explodes each doc to `bands` (band_id, band_key) rows and self-joins on
+    the key — the distributed analog of the reference's inverted index
+    (createCorpus.scala:395-410). `max_bucket` drops degenerate buckets
+    (boilerplate) to bound the join fan-out — at web scale a single hot
+    bucket would otherwise produce O(n²) pairs on one task.
+    """
+    rows = num_perm // bands
+    sig = df.select(id_col, *minhash_signature(F.col(shingle_col), num_perm))
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh_{i}").cast("string") for i in range(b * rows, (b + 1) * rows)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws(",", *parts)).alias("band_key"))
+        )
+    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("band")).select(
+        id_col, "band.band_id", "band.band_key"
+    )
+    # Cap pathological buckets before the self-join.
+    bucket_sizes = banded.groupBy("band_id", "band_key").count()
+    banded = (
+        banded.join(
+            bucket_sizes.filter(F.col("count") <= max_bucket),
+            ["band_id", "band_key"],
+            "left_semi",
+        )
+    )
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    pairs = (
+        a.join(
+            b_,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    shingle_col: str = "shingles",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle.
+    Standard explode→join-on-shingle→count plan: the join key is the
+    shingle so only overlapping docs ever meet; sizes come from a narrow
+    pre-aggregation, not a second scan."""
+    sizes = df.select(
+        F.col(id_col), F.size(F.array_distinct(F.col(shingle_col))).alias("sz")
+    )
+    ex = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.col(shingle_col))).alias("sh")
+    )
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    relevance_col: str | None = None,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    bands: int = 16,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → LSH candidates → exact-Jaccard
+    verify ≥ threshold → drop dominated docs.
+
+    A doc is dropped iff some verified near-duplicate dominates it
+    (higher relevance; ties by smaller id; without relevance, smaller id
+    wins — deterministic, partition-independent). Equivalent to the
+    reference's per-set highest-relevance winner (createCorpus.scala:425-442)
+    on clique-shaped duplicate sets, computed without driver collects.
+    """
+    sh = df.select(
+        F.col(id_col),
+        *( [F.col(relevance_col)] if relevance_col else [] ),
+        ngram_shingles(F.col(text_col), ngram).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    cands = minhash_candidates(sh, "shingles", id_col, num_perm, bands)
+    verified = (
+        cands.join(
+            jaccard_pairs(sh, "shingles", id_col, threshold), ["id_a", "id_b"], "inner"
+        )
+    )
+    # symmetric (loser, winner-candidate) edges
+    e1 = verified.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+    e2 = verified.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))
+    edges = e1.union(e2)
+    if relevance_col:
+        rel = df.select(F.col(id_col), F.col(relevance_col).alias("_rel"))
+        rx = rel.select(F.col(id_col).alias("x"), F.col("_rel").alias("rel_x"))
+        ry = rel.select(F.col(id_col).alias("y"), F.col("_rel").alias("rel_y"))
+        dominated = (
+            edges.join(rx, "x")
+            .join(ry, "y")
+            .filter(
+                (F.col("rel_y") > F.col("rel_x"))
+                | ((F.col("rel_y") == F.col("rel_x")) & (F.col("y") < F.col("x")))
+            )
+            .select(F.col("x").alias(id_col))
+            .distinct()
+        )
+    else:
+        dominated = edges.filter(F.col("y") < F.col("x")).select(
+            F.col("x").alias(id_col)
+        ).distinct()
+    return df.join(dominated, id_col, "left_anti")
+
+
+# ----- SimHash ---------------------------------------------------------------
+
+
+def simhash64(text: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens. Each token votes its md5-derived
+    32-bit hash's bits; the sign of each bit-sum forms the fingerprint.
+    Pure aggregate expression (no UDF): for bit j, count tokens with bit j
+    set vs total, set result bit iff set-count*2 > total."""
+    toks = F.array_distinct(ws_tokens(text))
+    n = F.size(toks)
+    hashes = F.transform(toks, md5_hash32)
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        cnt = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << j)) != 0))
+        out = out + F.when(cnt * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    return out
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
+    Pigeonhole banding: split the fingerprint into `bands` segments — any
+    pair within distance < bands shares at least one exact segment, so the
+    self-join key is (segment_id, segment_value), never all-pairs."""
+    seg_bits = bits // bands
+    mask = (1 << seg_bits) - 1
+    h = df.select(F.col(id_col), simhash64(F.col(text_col), bits).alias("simhash"))
+    segs = []
+    for s in range(bands):
+        segs.append(
+            F.struct(
+                F.lit(s).alias("seg_id"),
+                F.shiftright(F.col("simhash"), s * seg_bits).bitwiseAND(F.lit(mask)).alias("seg_val"),
+            )
+        )
+    banded = h.select(id_col, "simhash", F.explode(F.array(*segs)).alias("seg")).select(
+        id_col, "simhash", "seg.seg_id", "seg.seg_val"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.seg_id") == F.col("b.seg_id"))
+            & (F.col("a.seg_val") == F.col("b.seg_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

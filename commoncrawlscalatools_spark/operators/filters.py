@@ -1,0 +1,176 @@
+"""Stream filter (fast keyword gate) and topic filter (categorizer).
+
+Reference semantics:
+  * Stream filter — FourForumsWARCStreamFilter.scala:130-269. Two phases,
+    cheap→expensive, short-circuiting:
+      (1) total case-insensitive mentions of any keyword ≥ minmentions;
+      (2) detailCheck: split content into chunks on newlines and '. ',
+          keep chunks with 7 < words < 50, scan at most
+          `max_chunks_to_check` (5000) chunks for ≥1 keyword mention.
+    Catalyst does not cost-reorder opaque predicates, so we keep the phase
+    ordering explicit as two chained filters (SURVEY.md §4).
+  * Topic filter — FourForumsWARCTopicFilter.scala:216-357. Per category:
+    sum of core-keyword mentions ≥ min_core AND sum of secondary-keyword
+    mentions ≥ min_secondary (defaults: number of keywords of that kind).
+    Token-separator policy per (category, kind): 0 = substring match,
+    1 = a non-word char (or string boundary) on at least one side,
+    2 = on both sides (FourForumsWARCTopicFilter.scala:370-404).
+
+Everything is native Catalyst expressions (regexp_count is JVM-side and
+codegen'd) — the reference's first-char dispatch trick
+(FourForumsWARCTopicFilter.scala:417-511) is obsolete under vectorized
+regex counting (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# FourForums configuration (FourForumsWARCTopicFilter.scala:55-68)
+CORE_KEYWORDS: dict[str, list[str]] = {
+    "guncontrol": ["gun", "guns"],
+    "abortion": ["abortion"],
+    "evolution": ["evolution"],
+    "existenceofgod": ["god"],
+}
+SECONDARY_KEYWORDS: dict[str, list[str]] = {
+    "guncontrol": ["strict", "control"],
+    "abortion": ["pro-life", "pro-choice"],
+    "evolution": ["natural", "mechanism", "intelligent", "design"],
+    "existenceofgod": ["atheist", "theist", "exist"],
+}
+STREAM_KEYWORDS = ["abortion", "gun", "evolution", "god"]  # FourForumsWARCStreamFilter.scala:30
+MAX_CHUNKS_TO_CHECK = 5000  # FourForumsWARCStreamFilter.scala:41
+
+
+def keyword_pattern(keyword: str, separator_level: int = 0) -> str:
+    """Case-insensitive match pattern under the token-separator policy."""
+    kw = re.escape(keyword)
+    if separator_level == 0:
+        return f"(?i){kw}"
+    if separator_level == 1:
+        return f"(?i)(?:(?<![a-zA-Z0-9]){kw}|{kw}(?![a-zA-Z0-9]))"
+    if separator_level == 2:
+        return f"(?i)(?<![a-zA-Z0-9]){kw}(?![a-zA-Z0-9])"
+    raise ValueError(f"separator_level must be 0/1/2, got {separator_level}")
+
+
+def mention_count(text: Column, keywords: list[str], separator_level: int = 0) -> Column:
+    """Total case-insensitive mentions of any keyword (reference ciMatch sum)."""
+    counts = [
+        F.regexp_count(text, F.lit(keyword_pattern(k, separator_level)))
+        for k in keywords
+    ]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return total
+
+
+@dataclass
+class TopicFilterConfig:
+    core: dict[str, list[str]] = field(default_factory=lambda: dict(CORE_KEYWORDS))
+    secondary: dict[str, list[str]] = field(
+        default_factory=lambda: dict(SECONDARY_KEYWORDS)
+    )
+    # min mentions; default = number of keywords of that kind
+    # (FourForumsWARCTopicFilter.scala create_criteria_structures)
+    min_core: dict[str, int] | None = None
+    min_secondary: dict[str, int] | None = None
+    separator_level: dict[str, dict[str, int]] | None = None  # cat -> kind -> 0/1/2
+
+    def thresholds(self, cat: str) -> tuple[int, int]:
+        mc = (self.min_core or {}).get(cat, len(self.core[cat]))
+        ms = (self.min_secondary or {}).get(cat, len(self.secondary[cat]))
+        return mc, ms
+
+    def sep(self, cat: str, kind: str) -> int:
+        return ((self.separator_level or {}).get(cat) or {}).get(kind, 0)
+
+
+def category_counts(text: Column, config: TopicFilterConfig | None = None) -> dict[str, tuple[Column, Column]]:
+    """(core_count, secondary_count) columns per category."""
+    config = config or TopicFilterConfig()
+    out = {}
+    for cat in sorted(config.core):
+        core = mention_count(text, config.core[cat], config.sep(cat, "core"))
+        sec = mention_count(text, config.secondary[cat], config.sep(cat, "secondary"))
+        out[cat] = (core, sec)
+    return out
+
+
+def categories_expr(text: Column, config: TopicFilterConfig | None = None) -> Column:
+    """`array<string>` of categories the document qualifies for, sorted —
+    the reference's Set[String] (FourForumsWARCTopicFilter.scala:305-357)."""
+    config = config or TopicFilterConfig()
+    counts = category_counts(text, config)
+    members = []
+    for cat, (core, sec) in counts.items():
+        mc, ms = config.thresholds(cat)
+        members.append(F.when((core >= mc) & (sec >= ms), F.lit(cat)))
+    arr = F.array(*members)
+    return F.array_sort(F.filter(arr, lambda x: x.isNotNull()))
+
+
+def category_counts_map(text: Column, config: TopicFilterConfig | None = None) -> Column:
+    """`map<string, struct<core:int, secondary:int>>` of raw counts."""
+    config = config or TopicFilterConfig()
+    counts = category_counts(text, config)
+    kvs = []
+    for cat, (core, sec) in counts.items():
+        kvs.append(F.lit(cat))
+        kvs.append(F.struct(core.alias("core"), sec.alias("secondary")))
+    return F.create_map(*kvs)
+
+
+def topic_categorize(
+    df: DataFrame, text_col: str = "text", config: TopicFilterConfig | None = None
+) -> DataFrame:
+    text = F.col(text_col)
+    return df.withColumn("categories", categories_expr(text, config)).withColumn(
+        "category_counts", category_counts_map(text, config)
+    )
+
+
+# ----- stream filter ---------------------------------------------------------
+
+
+def _chunks(text: Column) -> Column:
+    """Chunk on newlines and sentence breaks ('. '), as detailCheck does
+    (FourForumsWARCStreamFilter.scala:168-229)."""
+    return F.split(F.regexp_replace(text, r"\. ", "\n"), "\n")
+
+
+def detail_check_expr(
+    text: Column,
+    keywords: list[str] = STREAM_KEYWORDS,
+    max_chunks: int = MAX_CHUNKS_TO_CHECK,
+) -> Column:
+    """True iff any of the first `max_chunks` well-sized chunks
+    (7 < words < 50) mentions a keyword."""
+    sized = F.filter(
+        _chunks(text),
+        lambda c: (F.size(F.filter(F.split(c, r"\s+"), lambda x: x != "")) > 7)
+        & (F.size(F.filter(F.split(c, r"\s+"), lambda x: x != "")) < 50),
+    )
+    bounded = F.slice(sized, 1, max_chunks)
+    pat = "(?i)(?:" + "|".join(re.escape(k) for k in keywords) + ")"
+    return F.exists(bounded, lambda c: c.rlike(pat))
+
+
+def stream_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    keywords: list[str] = STREAM_KEYWORDS,
+    minmentions: int = 1,
+    max_chunks: int = MAX_CHUNKS_TO_CHECK,
+) -> DataFrame:
+    """Two-phase keyword gate; phase order is load-bearing (cheap count
+    first — ~0.1% selectivity expected at crawl scale, BASELINE.md)."""
+    text = F.col(text_col)
+    phase1 = mention_count(text, keywords) >= minmentions
+    return df.filter(phase1).filter(detail_check_expr(text, keywords, max_chunks))

@@ -1,0 +1,168 @@
+"""Frontier scheduling: host-keyed priority queue + politeness delays.
+
+Reference analog: the `wetpaths` scheduling table with started/finished
+state and random sampling (GetWETPaths.scala:40-114), politeness via
+random sleeps (ProcessWETPaths.scala:70,110). Re-expressed declaratively
+per SURVEY.md §7: politeness is *computed* as a `not_before_ms` logical
+timestamp per scheduled URL, never an executor sleep; random sampling
+becomes a deterministic (priority, url_hash) order.
+
+Determinism contract (north rule: identical crawl order at any
+parallelism): every ordering key is data-derived — priority desc, then
+url_hash — no zipWithIndex, no monotonically_increasing_id, no
+partition-order dependence. The total crawl order is
+(round, host, fetch_seq).
+
+Scale notes:
+  * The per-host ranking is one shuffle on `host`. Hot hosts are bounded
+    by `per_host_cap` BEFORE any global operation, so a host with 10^7
+    pending URLs contributes at most `cap` rows per round — the politeness
+    constraint itself is the skew guard (salting within a host would break
+    its fetch sequencing; SURVEY.md §7.4).
+  * The global budget is a top-K (TakeOrderedAndProject), not a full sort.
+    At 10^10-URL scale replace with a priority-threshold computed from
+    approx quantiles; `budget=None` skips it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from commoncrawlscalatools_spark.functions import urls as U
+from commoncrawlscalatools_spark.operators.robots import DEFAULT_CRAWL_DELAY_MS
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("priority", T.DoubleType(), False),
+        T.StructField("state", T.StringType(), False),  # pending|scheduled|fetched|failed
+        T.StructField("round", T.IntegerType(), False),  # round added
+        T.StructField("retries", T.IntegerType(), False),
+        T.StructField("log_message", T.StringType(), True),
+    ]
+)
+
+
+def canonicalize_seeds(seeds: DataFrame, url_col: str = "url") -> DataFrame:
+    """Seeds → canonical frontier candidates. Duplicate canonical URLs
+    collapse to the highest-priority row (ties: first by url_hash) —
+    deterministic, one hash-aggregate."""
+    c = U.canonical_url(F.col(url_col))
+    cand = (
+        seeds.select(
+            c.alias("url"),
+            F.col("priority").cast("double").alias("priority"),
+        )
+        .filter(F.col("url").isNotNull())
+        .withColumn("url_hash", U.url_hash(F.col("url")))
+        .withColumn("host", U.url_host(F.col("url")))
+    )
+    return cand.groupBy("url", "url_hash", "host").agg(
+        F.max("priority").alias("priority")
+    )
+
+
+def as_frontier_rows(cand: DataFrame, round_no: int) -> DataFrame:
+    return cand.select(
+        "url",
+        "url_hash",
+        "host",
+        "priority",
+        F.lit("pending").alias("state"),
+        F.lit(round_no).cast("int").alias("round"),
+        F.lit(0).cast("int").alias("retries"),
+        F.lit(None).cast("string").alias("log_message"),
+    )
+
+
+def schedule_round(
+    frontier: DataFrame,
+    host_state: DataFrame | None,
+    robots_delays: DataFrame | None,
+    round_no: int,
+    per_host_cap: int = 10,
+    budget: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> DataFrame:
+    """Pick this round's fetch set from pending frontier rows.
+
+    Returns (url, url_hash, host, priority, round, fetch_seq, not_before_ms,
+    crawl_delay_ms): fetch_seq is the politeness sequence within the host;
+    not_before_ms = host_ready_ms + (fetch_seq-1)·crawl_delay_ms.
+    """
+    pending = frontier.filter(F.col("state") == "pending")
+    if shuffle_partitions is not None:
+        # explicit per-round shuffle tuning (north rule); AQE coalesces tails
+        pending = pending.repartition(shuffle_partitions, "host")
+    if robots_delays is not None:
+        pending = pending.join(F.broadcast(robots_delays), "host", "left")
+    else:
+        pending = pending.withColumn("crawl_delay_ms", F.lit(None).cast("long"))
+    pending = pending.withColumn(
+        "crawl_delay_ms",
+        F.coalesce(F.col("crawl_delay_ms"), F.lit(DEFAULT_CRAWL_DELAY_MS)),
+    )
+    if host_state is not None:
+        pending = pending.join(host_state, "host", "left")
+    else:
+        pending = pending.withColumn("host_ready_ms", F.lit(None).cast("long"))
+    pending = pending.withColumn(
+        "host_ready_ms", F.coalesce(F.col("host_ready_ms"), F.lit(0))
+    )
+
+    w = W.partitionBy("host").orderBy(F.desc("priority"), F.col("url_hash"))
+    ranked = pending.withColumn("fetch_seq", F.row_number().over(w)).filter(
+        F.col("fetch_seq") <= per_host_cap
+    )
+    if budget is not None:
+        ranked = ranked.orderBy(F.desc("priority"), F.col("url_hash")).limit(budget)
+        # re-rank inside the surviving set so fetch_seq stays dense per host
+        ranked = ranked.withColumn("fetch_seq", F.row_number().over(w))
+    return ranked.select(
+        "url",
+        "url_hash",
+        "host",
+        "priority",
+        F.lit(round_no).cast("int").alias("round"),
+        "fetch_seq",
+        (
+            F.col("host_ready_ms")
+            + (F.col("fetch_seq") - 1) * F.col("crawl_delay_ms")
+        ).alias("not_before_ms"),
+        "crawl_delay_ms",
+    )
+
+
+def advance_host_state(scheduled: DataFrame) -> DataFrame:
+    """Next round's host_ready_ms = last scheduled slot + one delay."""
+    return scheduled.groupBy("host").agg(
+        (F.max("not_before_ms") + F.max("crawl_delay_ms")).alias("host_ready_ms")
+    )
+
+
+def mark_fetched(frontier: DataFrame, scheduled: DataFrame, round_no: int) -> DataFrame:
+    """Frontier state transition pending→fetched for scheduled URLs.
+    Sandbox implementation is a rewrite (anti-join + union); under Iceberg
+    this is a single MERGE INTO on url_hash."""
+    fetched = (
+        frontier.join(scheduled.select("url_hash"), "url_hash", "left_semi")
+        .withColumn("state", F.lit("fetched"))
+        .withColumn(
+            "log_message", F.concat(F.lit("fetched round "), F.lit(round_no))
+        )
+    )
+    untouched = frontier.join(scheduled.select("url_hash"), "url_hash", "left_anti")
+    return untouched.unionByName(fetched)
+
+
+def crawl_order(scheduled: DataFrame) -> DataFrame:
+    """The deterministic total crawl order for invariant checks: ordering
+    is fully data-derived (round, host, fetch_seq)."""
+    return scheduled.select(
+        "round", "host", "fetch_seq", "url", "priority", "not_before_ms"
+    ).orderBy("round", "host", "fetch_seq")

@@ -1,0 +1,59 @@
+"""Relevance scoring + top-K — the engine-library replacement for the
+reference's Cassandra-Lucene pushdown scan (createCorpus.scala:286-303,
+SURVEY.md S5/O1/P4).
+
+Vanilla Spark has no full-text-search pushdown; per SURVEY.md §4 the right
+replacement is a scored column computed at scan time (codegen'd regex
+counts — a TF-like score), then `orderBy(desc).limit(k)` which Catalyst
+compiles to TakeOrderedAndProject: per-partition heaps + a k-row driver
+merge, never a global sort. The reference's 2-column projection trick
+(createCorpus.scala:292-303) is subsumed by Catalyst column pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from commoncrawlscalatools_spark.functions.text import token_count_ws
+from commoncrawlscalatools_spark.operators.filters import mention_count
+
+
+def relevance_score(text: Column, query_terms: list[str]) -> Column:
+    """TF-normalized keyword relevance in [0, ~1]: total case-insensitive
+    mentions of the query terms per token. Deterministic, monotone in the
+    mention count like the reference's Lucene score usage (only the >0.1
+    cut and ordering matter there — createCorpus.scala:300-303)."""
+    mentions = mention_count(text, query_terms)
+    ntok = token_count_ws(text)
+    return F.round(
+        F.when(ntok > 0, mentions.cast("double") * 10.0 / ntok.cast("double")).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+
+
+def search_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2000,
+    min_relevance: float = 0.1,
+) -> DataFrame:
+    """score → threshold → top-K (ids + relevance only; content re-joined
+    by the caller — reference pattern J1, createCorpus.scala:314-325)."""
+    scored = df.select(
+        F.col(id_col),
+        relevance_score(F.col(text_col), query_terms).alias("relevance"),
+    ).filter(F.col("relevance") > min_relevance)
+    return scored.orderBy(F.desc("relevance"), F.col(id_col)).limit(k)
+
+
+def fetch_content_for_topk(
+    topk: DataFrame, docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Reference J1: top-K ids joined back to the content table. K rows are
+    tiny → broadcast the ids side so the big table never shuffles."""
+    return docs.join(F.broadcast(topk), id_col, "inner")

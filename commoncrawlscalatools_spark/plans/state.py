@@ -1,0 +1,71 @@
+"""Snapshot-versioned table store: checkpoint/resume for crawl state.
+
+Production target is Iceberg (one snapshot per table per round; resume =
+read latest snapshot; state updates via MERGE INTO). The sandbox image has
+no Iceberg jars (pyspark_guide.md), so this module provides the same
+contract over parquet: each commit writes `<root>/<table>/v=<n>/` then
+atomically publishes it in `<root>/<table>/_manifest.json` (temp file +
+os.replace). A crash between write and publish leaves the previous
+snapshot current — the same all-or-nothing semantics an Iceberg commit
+gives. Reference analog: wetpaths started/finished state survives job
+death and work is reclaimed (GetWETPaths.scala:15-31, SURVEY.md W2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "_manifest.json")
+
+    def _read_manifest(self, table: str) -> dict:
+        path = self._manifest_path(table)
+        if not os.path.exists(path):
+            return {"versions": []}
+        with open(path) as f:
+            return json.load(f)
+
+    def versions(self, table: str) -> list[int]:
+        return self._read_manifest(table)["versions"]
+
+    def latest_version(self, table: str) -> int | None:
+        v = self.versions(table)
+        return v[-1] if v else None
+
+    def write(self, table: str, df: DataFrame, version: int, coalesce: int | None = None) -> None:
+        """Write snapshot `version`; publish atomically. Small state tables
+        are coalesced to avoid the small-files tax that kills fixed-cost
+        scaling efficiency (SURVEY.md §7.4)."""
+        tdir = os.path.join(self.root, table)
+        os.makedirs(tdir, exist_ok=True)
+        path = os.path.join(tdir, f"v={version}")
+        if coalesce:
+            df = df.coalesce(coalesce)
+        df.write.mode("overwrite").parquet(path)
+        manifest = self._read_manifest(table)
+        if version not in manifest["versions"]:
+            manifest["versions"] = sorted(set(manifest["versions"]) | {version})
+        fd, tmp = tempfile.mkstemp(dir=tdir)
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(table))
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        v = self.latest_version(table) if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no committed snapshot for table {table}")
+        return self.spark.read.parquet(os.path.join(self.root, table, f"v={v}"))
+
+    def exists(self, table: str) -> bool:
+        return self.latest_version(table) is not None

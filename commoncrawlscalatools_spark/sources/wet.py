@@ -1,0 +1,144 @@
+"""WET/WARC record parsing — the reference's 850-line FSA
+(Parser.scala:69-915) re-expressed as a vectorized split-and-extract.
+
+Record boundaries are syntactic ("WARC/1.0" header + blank-line
+separators), so the long-lived parser state collapses to: split archive
+text on the version line, regexp-extract the header fields, and gate
+emission on completeness predicates (SURVEY.md §3.3 note). Corruption
+recovery (the FSA's sink states S3/S6) becomes declarative routing:
+records failing the required-field set go to a quarantine DataFrame and
+valid siblings still parse — matching ParserSpec's "return 4 WARCRecord
+objects skipping corrupt record".
+
+Required fields: WARCInfo — WARC-Type, WARC-Date, WARC-Filename,
+WARC-Record-ID, Content-Type, Content-Length, Content
+(WARCInfo.scala:13-20); WARCConversion — WARC-Type, WARC-Target-URI,
+WARC-Date, WARC-Record-ID, WARC-Refers-To, WARC-Block-Digest,
+Content-Type, Content-Length, Content (WARCConversion.scala:49-58).
+WARCInfo fields are denormalized onto each conversion row (the reference
+itself does this when persisting — ProcessWETPaths.scala:30-43).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from commoncrawlscalatools_spark.functions.urls import url_tld
+
+CONVERSION_REQUIRED = [
+    "warc_type",
+    "warc_target_uri",
+    "warc_date",
+    "warc_record_id",
+    "warc_refers_to",
+    "warc_block_digest",
+    "content_type",
+    "content_length",
+    "content",
+]
+
+_HEADERS = {
+    "warc_type": "WARC-Type",
+    "warc_target_uri": "WARC-Target-URI",
+    "warc_date": "WARC-Date",
+    "warc_record_id": "WARC-Record-ID",
+    "warc_refers_to": "WARC-Refers-To",
+    "warc_block_digest": "WARC-Block-Digest",
+    "warc_filename": "WARC-Filename",
+    "content_type": "Content-Type",
+    "content_length": "Content-Length",
+}
+
+
+def _header(block: Column, name: str) -> Column:
+    v = F.regexp_extract(block, rf"(?m)^{name}:[ \t]*(.*?)\r?$", 1)
+    return F.when(v != "", v)
+
+
+def parse_wet_archive(
+    archives: DataFrame, content_col: str = "archive_text", path_col: str = "wet_path"
+) -> DataFrame:
+    """Archive text → one row per WARC record, headers extracted.
+
+    The split on the version line is an in-row array op (narrow, codegen'd);
+    exploding keeps lineage to the source archive. `is_complete` mirrors
+    WARCRecord.isComplete (WARCRecord.scala:68-101): all required headers
+    present + content non-empty.
+    """
+    recs = F.split(F.col(content_col), r"(?m)^WARC/1\.0\r?\n")
+    exploded = archives.select(
+        F.col(path_col),
+        F.posexplode(recs).alias("record_pos", "block"),
+    ).filter((F.col("block") != "") & (F.col("record_pos") > 0))
+
+    cols = [F.col(path_col), F.col("record_pos")]
+    for col_name, header in _HEADERS.items():
+        cols.append(_header(F.col("block"), header).alias(col_name))
+    # body = everything after the first blank line
+    body = F.regexp_replace(
+        F.regexp_extract(F.col("block"), r"(?s)\r?\n\r?\n(.*)$", 1), r"[\r\n]+$", ""
+    )
+    cols.append(F.when(body != "", body).alias("content"))
+    parsed = exploded.select(*cols)
+
+    info_ok = (
+        (F.col("warc_type") == "warcinfo")
+        & F.col("warc_date").isNotNull()
+        & F.col("warc_filename").isNotNull()
+        & F.col("warc_record_id").isNotNull()
+        & F.col("content_type").isNotNull()
+        & F.col("content_length").isNotNull()
+        & F.col("content").isNotNull()
+    )
+    conv_ok = (F.col("warc_type") == "conversion") & F.lit(True)
+    for c in CONVERSION_REQUIRED:
+        conv_ok = conv_ok & F.col(c).isNotNull()
+    return parsed.withColumn(
+        "record_kind",
+        F.when(info_ok, "warcinfo").when(conv_ok, "conversion").otherwise("corrupt"),
+    )
+
+
+def conversions_with_info(parsed: DataFrame, path_col: str = "wet_path") -> DataFrame:
+    """Valid conversion records with archive-level warcinfo fields
+    denormalized on (WARCInfo fallback semantics,
+    WARCConversion.scala:90-114) + derived TLD column
+    (WARCConversion.scala:175-185)."""
+    info = (
+        parsed.filter(F.col("record_kind") == "warcinfo")
+        .groupBy(path_col)
+        .agg(
+            F.min_by("warc_filename", "record_pos").alias("info_filename"),
+            F.min_by("warc_date", "record_pos").alias("info_date"),
+        )
+    )
+    conv = parsed.filter(F.col("record_kind") == "conversion")
+    return (
+        conv.join(F.broadcast(info), path_col, "left")
+        .withColumn("warc_tldn", url_tld(F.col("warc_target_uri")))
+        .withColumn("content_length_int", F.col("content_length").cast("int"))
+    )
+
+
+def quarantine(parsed: DataFrame) -> DataFrame:
+    """Corrupt records routed to quarantine instead of FSA sink states."""
+    return parsed.filter(F.col("record_kind") == "corrupt")
+
+
+def validate_fixture_records(records: DataFrame) -> DataFrame:
+    """FIXTURES.md §6 wet_records table → validity routing: adds
+    `record_kind` (warcinfo/conversion/corrupt) + `warc_tldn`. The
+    record-type guard (WARCRecordTypeException, WARCInfo.scala:44-47)
+    becomes a 'corrupt' route, not an exception."""
+    conv_ok = F.col("warc_type") == "conversion"
+    for c in ["warc_record_id", "warc_target_uri", "warc_date", "content_length", "content"]:
+        conv_ok = conv_ok & F.col(c).isNotNull() & (F.col(c) != "")
+    kind = (
+        F.when(F.col("warc_type") == "warcinfo", "warcinfo")
+        .when(conv_ok, "conversion")
+        .otherwise("corrupt")
+    )
+    return records.withColumn("record_kind", kind).withColumn(
+        "warc_tldn", url_tld(F.col("warc_target_uri"))
+    )
