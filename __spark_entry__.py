@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()   — flagship: one full crawl-pipeline pass (seeds synthesized from
+            sf0.001 documents → canonicalize → politeness/priority schedule
+            → synthetic fetch → Arrow span extraction) returning the
+            interleaved-document DataFrame (doc_id, spans, outlinks, ...).
+queries() — every implemented operator from SURVEY.md §2 (see
+            commoncrawlscalatools_spark/queries.py).
+oracle_sql() — DuckDB-equivalent SQL per query.
 """
 
 from __future__ import annotations
@@ -12,27 +14,50 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: crawl one frontier round end-to-end (in-memory state)."""
+    from commoncrawlscalatools_spark.operators.frontier import (
+        as_frontier_rows,
+        canonicalize_seeds,
+        schedule_round,
+    )
+    from commoncrawlscalatools_spark.queries import _urls_df
+    from commoncrawlscalatools_spark.sources.fetch import doc_text, fetch_and_extract
+
+    urls = _urls_df(spark, SF0001)
+    seeds = urls.select("url", (F.col("doc_id") % 100 / 100.0).alias("priority"))
+    frontier = as_frontier_rows(canonicalize_seeds(seeds), 0)
+    sched = schedule_round(
+        frontier, host_state=None, robots_delays=None, round_no=1, per_host_cap=50
+    )
+    docs = fetch_and_extract(sched, n_hosts=100)
+    return doc_text(docs).select(
+        "doc_id",
+        "url",
+        "host",
+        "round",
+        "fetch_seq",
+        "not_before_ms",
+        "spans",
+        "outlinks",
+        "n_text_spans",
+        "n_media_spans",
+        "text",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from commoncrawlscalatools_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from commoncrawlscalatools_spark.queries import all_oracles
+
+    return all_oracles()

@@ -1,0 +1,121 @@
+"""Benchmark harness — run headline queries + one crawl round at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; print ONE JSON line.
+
+Headline metric (BASELINE.json): frontier URLs scheduled + fetched docs
+per second on a synthetic seed frontier (deterministic generator,
+in-memory round — state-store IO excluded so the number measures the
+engine, not the sandbox disk). Scaling evidence (local[8] vs local[32])
+lives in bench/scaling.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from commoncrawlscalatools_spark import get_spark  # noqa: E402
+from commoncrawlscalatools_spark.operators.frontier import (  # noqa: E402
+    as_frontier_rows,
+    canonicalize_seeds,
+    schedule_round,
+)
+from commoncrawlscalatools_spark.operators.robots import (  # noqa: E402
+    generate_robots,
+    host_delays,
+)
+from commoncrawlscalatools_spark.queries import all_queries  # noqa: E402
+from commoncrawlscalatools_spark.sources.fetch import fetch_and_extract  # noqa: E402
+from commoncrawlscalatools_spark.sources.seeds import generate_seeds  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "nation_revenue",
+    "top_orders_per_customer",
+    "stream_filter_docs",
+    "topic_filter_docs",
+    "relevance_topk",
+    "minhash_dedup_pairs",
+    "simhash_pairs",
+    "ann_cosine_topk",
+    "doc_fingerprints",
+    "sessionize_events",
+    "windowed_event_agg",
+    "url_canonicalize",
+    "frontier_schedule",
+]
+
+
+def crawl_round_bench(spark, n_seeds: int, n_hosts: int, per_host_cap: int) -> dict:
+    seeds = generate_seeds(spark, n_seeds, seed=42, n_hosts=n_hosts)
+    robots = generate_robots(spark, n_hosts, seed=42)
+    t0 = time.time()
+    frontier = as_frontier_rows(canonicalize_seeds(seeds), 0)
+    sched = schedule_round(
+        frontier, None, host_delays(robots), 1, per_host_cap=per_host_cap
+    )
+    docs = fetch_and_extract(sched, n_hosts=n_hosts)
+    agg = docs.agg(
+        F.count("*").alias("docs"),
+        F.sum(F.size("spans")).alias("spans"),
+        F.sum(F.size("outlinks")).alias("links"),
+    ).collect()[0]
+    wall = time.time() - t0
+    n_docs = int(agg["docs"])
+    return {
+        "wall_s": round(wall, 3),
+        "scheduled": n_docs,
+        "docs": n_docs,
+        "spans": int(agg["spans"] or 0),
+        "outlinks": int(agg["links"] or 0),
+        "throughput": round(2 * n_docs / wall, 1),  # scheduled URLs + fetched docs
+    }
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_seeds = int(os.environ.get("SPARK_GRAFT_BENCH_SEEDS", "300000"))
+    spark = get_spark(cores=cpus, shuffle_partitions=cpus)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    queries = all_queries()
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        per_query[name] = round(time.time() - t0, 3)
+
+    # crawl throughput: one warm-up (tiny) + measured round
+    crawl_round_bench(spark, 10_000, 200, 20)
+    crawl = crawl_round_bench(
+        spark, n_seeds, max(200, n_seeds // 500), per_host_cap=1000
+    )
+    per_query["crawl_round"] = crawl["wall_s"]
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "frontier URLs scheduled + fetched docs per sec (synthetic frontier, one round)",
+                "value": crawl["throughput"],
+                "unit": "docs/sec",
+                "queries": per_query,
+                "sf": sf,
+                "crawl": crawl,
+                "total_query_sec": total,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

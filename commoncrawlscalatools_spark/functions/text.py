@@ -65,10 +65,14 @@ def md5_hash32(s: Column) -> Column:
 
 
 def word_ngrams(text: Column, n: int = 3) -> Column:
-    """All word n-grams as strings, in document order."""
+    """All word n-grams as strings, in document order. (sequence(1,0) is
+    DESCENDING in Spark, so short docs need the explicit empty guard.)"""
     toks = ws_tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_shingles(text: Column, n: int = 3) -> Column:
@@ -83,7 +87,9 @@ def stopword_anchored_shingles(text: Column, width: int = 6) -> Column:
     the dedup semantics)."""
     toks = ws_tokens(text)
     sw = F.array(*[F.lit(s) for s in STOPWORDS])
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(0)))
+    idx = F.when(F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks))).otherwise(
+        F.array().cast("array<int>")
+    )
     windows = F.transform(
         idx,
         lambda i: F.when(

@@ -32,7 +32,7 @@ def url_hostport(url: Column) -> Column:
 
 def url_host(url: Column) -> Column:
     """Lowercased host, port and userinfo stripped; '' when malformed."""
-    hostport = url_hostport(url)
+    hostport = url_hostport(F.trim(url))
     no_user = F.element_at(F.split(hostport, "@"), -1)
     return F.lower(F.regexp_extract(no_user, r"^([^:]+)", 1))
 

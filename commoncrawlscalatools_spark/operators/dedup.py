@@ -39,6 +39,17 @@ P31 = (1 << 31) - 1
 NUM_PERM = 64  # reference: 64 hash tables, createCorpus.scala:376
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition to the session's default parallelism when the input
+    has fewer partitions — heavy per-row expressions (md5 shingles, 64-perm
+    signatures, bit votes) must not serialize onto one task just because the
+    source was one small file. No-op partition-count-wise at real scale."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, key)
+    return df
+
+
 def perm_params(i: int) -> tuple[int, int]:
     """Closed-form permutation constants (documented above; no RNG)."""
     return 2 * i + 1, 12345 * i + 7
@@ -52,6 +63,64 @@ def minhash_signature(shingles: Column, num_perm: int = NUM_PERM) -> list[Column
         h = F.array_min(F.transform(shingles, lambda x: (x * a + b) % P31))
         sig.append(F.coalesce(h, F.lit(P31)).alias(f"mh_{i}"))
     return sig
+
+
+def with_shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, shingles) projection, built for throughput:
+      1. spread FIRST (repartition the raw text) so per-row hashing
+         parallelizes even from a single-file source;
+      2. materialize the token array behind a persist barrier — higher-order
+         lambdas re-evaluate captured subexpressions per element, so an
+         inline `split()` inside the n-gram transform is O(tokens²)/row
+         (measured 2× at sf0.1);
+      3. persist the shingle table — every dedup consumer (signatures,
+         candidate join, verify) reuses it. At cluster scale this is a
+         written intermediate table.
+    """
+    base = _spread(df.select(id_col, text_col), id_col)
+    toks = base.select(F.col(id_col), ws_tokens(F.col(text_col)).alias("__toks")).persist()
+    tcol = F.col("__toks")
+    # sequence(1, 0) is DESCENDING in Spark → guard short docs explicitly
+    idx = F.sequence(F.lit(1), F.size(tcol) - (n - 1))
+    ngrams = F.when(
+        F.size(tcol) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(tcol, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+    sh = toks.select(
+        F.col(id_col),
+        F.array_distinct(F.transform(ngrams, md5_hash32)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    return sh.persist()
+
+
+def jaccard_for_pairs(
+    pairs: DataFrame,
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact Jaccard for an explicit candidate-pair set: join each side to
+    its shingle list and intersect in-row. O(|pairs|), not O(overlap graph)
+    — the verify step after LSH must never fan back out to all overlapping
+    pairs (that join is quadratic in hot-shingle frequency)."""
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sha"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__shb"))
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    jac = F.round(
+        inter.cast("double")
+        / (F.size("__sha") + F.size("__shb") - inter).cast("double"),
+        6,
+    )
+    out = j.withColumn("jaccard", jac).select("id_a", "id_b", "jaccard")
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= threshold)
+    return out
 
 
 def exact_dedup(
@@ -97,6 +166,11 @@ def minhash_candidates(
     bucket would otherwise produce O(n²) pairs on one task.
     """
     rows = num_perm // bands
+    # Input should be pre-spread + persisted (see with_shingles).
+    # Materialize signatures once: `banded` feeds three consumers (bucket
+    # sizing + both sides of the self-join); without a persist Catalyst
+    # recomputes the 64-permutation signature per consumer (observed 10×
+    # slowdown at sf0.1). At cluster scale this is a written signature table.
     sig = df.select(id_col, *minhash_signature(F.col(shingle_col), num_perm))
     band_cols = []
     for b in range(bands):
@@ -107,6 +181,7 @@ def minhash_candidates(
     banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("band")).select(
         id_col, "band.band_id", "band.band_key"
     )
+    banded = banded.persist()
     # Cap pathological buckets before the self-join.
     bucket_sizes = banded.groupBy("band_id", "band_key").count()
     banded = (
@@ -143,12 +218,13 @@ def jaccard_pairs(
     Standard explode→join-on-shingle→count plan: the join key is the
     shingle so only overlapping docs ever meet; sizes come from a narrow
     pre-aggregation, not a second scan."""
-    sizes = df.select(
-        F.col(id_col), F.size(F.array_distinct(F.col(shingle_col))).alias("sz")
-    )
-    ex = df.select(
-        F.col(id_col), F.explode(F.array_distinct(F.col(shingle_col))).alias("sh")
-    )
+    # persist the shingle projection: it feeds sizes + both join sides, and
+    # upstream shingling is the expensive part (would be recomputed 3×)
+    base = _spread(df.select(
+        F.col(id_col), F.array_distinct(F.col(shingle_col)).alias("__sh")
+    ), id_col).persist()
+    sizes = base.select(F.col(id_col), F.size("__sh").alias("sz"))
+    ex = base.select(F.col(id_col), F.explode("__sh").alias("sh"))
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -201,17 +277,9 @@ def minhash_dedup(
     reference's per-set highest-relevance winner (createCorpus.scala:425-442)
     on clique-shaped duplicate sets, computed without driver collects.
     """
-    sh = df.select(
-        F.col(id_col),
-        *( [F.col(relevance_col)] if relevance_col else [] ),
-        ngram_shingles(F.col(text_col), ngram).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    sh = with_shingles(df, text_col, id_col, ngram)
     cands = minhash_candidates(sh, "shingles", id_col, num_perm, bands)
-    verified = (
-        cands.join(
-            jaccard_pairs(sh, "shingles", id_col, threshold), ["id_a", "id_b"], "inner"
-        )
-    )
+    verified = jaccard_for_pairs(cands, sh, id_col, threshold)
     # symmetric (loser, winner-candidate) edges
     e1 = verified.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
     e2 = verified.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))
@@ -269,7 +337,19 @@ def simhash_near_pairs(
     self-join key is (segment_id, segment_value), never all-pairs."""
     seg_bits = bits // bands
     mask = (1 << seg_bits) - 1
-    h = df.select(F.col(id_col), simhash64(F.col(text_col), bits).alias("simhash"))
+    # materialize token hashes behind a persist barrier: the 32 bit-vote
+    # filters each reference the hash array — inline, the md5-per-token
+    # transform would re-run 32× per row
+    hx = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col),
+        F.transform(F.array_distinct(ws_tokens(F.col(text_col))), md5_hash32).alias("__hx"),
+    ).persist()
+    hcol, n = F.col("__hx"), F.size("__hx")
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        cnt = F.size(F.filter(hcol, lambda v: v.bitwiseAND(F.lit(1 << j)) != 0))
+        sim = sim + F.when(cnt * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    h = hx.select(F.col(id_col), sim.alias("simhash"))
     segs = []
     for s in range(bands):
         segs.append(
@@ -280,7 +360,7 @@ def simhash_near_pairs(
         )
     banded = h.select(id_col, "simhash", F.explode(F.array(*segs)).alias("seg")).select(
         id_col, "simhash", "seg.seg_id", "seg.seg_val"
-    )
+    ).persist()  # feeds both self-join sides; simhash is 32 filters/row
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(

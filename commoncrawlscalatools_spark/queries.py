@@ -1,0 +1,963 @@
+"""Query catalog: every operator from SURVEY.md §2 as a (Spark callable,
+DuckDB oracle SQL) pair for the driver's correctness gate.
+
+Conventions (driver contract, __spark_entry__.py):
+  * each Spark query takes (spark, sf_dir) and returns a DataFrame;
+  * the oracle is ANSI SQL over the same parquet (views pre-registered);
+  * every computed column is aliased identically on both sides;
+  * floats are rounded (≤6 dp) so both engines hash identical values;
+  * cross-engine-reproducible hashes use the md5-hex→bigint trick
+    (functions.text.md5_hash32) — xxhash64 stays Spark-internal.
+
+DuckDB is RE2-based (no lookaround), so oracle-checked regex queries use
+separator_level=0 patterns; levels 1/2 are covered by pytest.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from commoncrawlscalatools_spark.functions import text as TX
+from commoncrawlscalatools_spark.functions import urls as U
+from commoncrawlscalatools_spark.functions.cleaner import keep_line_expr
+from commoncrawlscalatools_spark.operators import dedup as DD
+from commoncrawlscalatools_spark.operators import filters as FL
+from commoncrawlscalatools_spark.operators import relevance as RV
+from commoncrawlscalatools_spark.operators import similarity as SM
+from commoncrawlscalatools_spark.operators.frontier import schedule_round
+from commoncrawlscalatools_spark.streaming import stream as ST
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scans, aggs, joins, windows, sorts, set ops)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_top_orders",
+    """
+    SELECT o.o_orderkey AS o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderpriority AS o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def q3_top_orders(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "nation_revenue",
+    """
+    SELECT n.n_name AS n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                    JOIN customer c ON o.o_custkey = c.c_custkey
+                    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def nation_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def top_orders_per_customer(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@q(
+    "order_priority_report",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           round(100.0 * sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 / count(*), 6) AS pct_finished
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def order_priority_report(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    fin = F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        fin.alias("n_finished"),
+        F.round(fin * 100.0 / F.count("*"), 6).alias("pct_finished"),
+    )
+
+
+@q(
+    "rollup_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+@q(
+    "customers_without_orders",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def customers_without_orders(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@q(
+    "suppliers_of_large_parts",
+    """
+    SELECT DISTINCT s.s_suppkey AS s_suppkey, s.s_name AS s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_size > 30)
+    """,
+)
+def suppliers_of_large_parts(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") > 30)
+    big = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+    return s.join(big, s.s_suppkey == big.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analytics / filters (documents table)
+# ---------------------------------------------------------------------------
+
+DOC_STREAM_KEYWORDS = ["join", "scan"]
+DOC_TOPICS = FL.TopicFilterConfig(
+    core={"joins": ["join"], "scans": ["scan"], "sorts": ["sort"]},
+    secondary={
+        "joins": ["merge", "hash"],
+        "scans": ["table", "filter"],
+        "sorts": ["window", "order"],
+    },
+)
+
+
+def _sql_count(col: str, kw: str) -> str:
+    return f"len(regexp_extract_all({col}, '(?i){kw}'))"
+
+
+@q(
+    "stream_filter_docs",
+    f"""
+    WITH phase1 AS (
+      SELECT doc_id, text,
+             {_sql_count('text', 'join')} + {_sql_count('text', 'scan')} AS mentions
+      FROM documents
+    )
+    SELECT doc_id, mentions FROM phase1
+    WHERE mentions >= 3 AND len(
+      list_filter(
+        string_split(regexp_replace(text, '\\. ', chr(10), 'g'), chr(10)),
+        c -> len(list_filter(string_split_regex(c, '\\s+'), x -> x <> '')) > 7
+         AND len(list_filter(string_split_regex(c, '\\s+'), x -> x <> '')) < 50
+         AND regexp_matches(c, '(?i)(?:join|scan)')
+      )) > 0
+    """,
+)
+def stream_filter_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    d = d.withColumn("mentions", FL.mention_count(F.col("text"), DOC_STREAM_KEYWORDS))
+    out = FL.stream_filter(d, "text", DOC_STREAM_KEYWORDS, minmentions=3)
+    return out.select("doc_id", "mentions")
+
+
+def _topic_oracle() -> str:
+    cases = []
+    for cat in sorted(DOC_TOPICS.core):
+        core = " + ".join(_sql_count("text", k) for k in DOC_TOPICS.core[cat])
+        sec = " + ".join(_sql_count("text", k) for k in DOC_TOPICS.secondary[cat])
+        mc, ms = DOC_TOPICS.thresholds(cat)
+        cases.append(
+            f"SELECT doc_id, '{cat}' AS category, {core} AS core_count,"
+            f" {sec} AS secondary_count FROM documents"
+            f" WHERE {core} >= {mc} AND {sec} >= {ms}"
+        )
+    return " UNION ALL ".join(cases)
+
+
+@q("topic_filter_docs", _topic_oracle())
+def topic_filter_docs(spark, sf_dir):
+    d = FL.topic_categorize(t(spark, sf_dir, "documents"), "text", DOC_TOPICS)
+    return (
+        d.select("doc_id", "category_counts", F.explode("categories").alias("category"))
+        .select(
+            "doc_id",
+            "category",
+            F.col("category_counts")[F.col("category")]["core"].alias("core_count"),
+            F.col("category_counts")[F.col("category")]["secondary"].alias(
+                "secondary_count"
+            ),
+        )
+    )
+
+
+@q(
+    "relevance_topk",
+    """
+    SELECT doc_id, relevance FROM (
+      SELECT doc_id,
+             round(({0} + {1}) * 10.0
+                   / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 6)
+             AS relevance
+      FROM documents)
+    WHERE relevance > 0.1 ORDER BY relevance DESC, doc_id LIMIT 50
+    """.format(_sql_count("text", "join"), _sql_count("text", "merge")),
+)
+def relevance_topk(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return RV.search_topk(d, ["join", "merge"], "text", "doc_id", k=50)
+
+
+@q(
+    "subword_counts",
+    """
+    SELECT token, count(*) AS n FROM (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
+      FROM documents)
+    WHERE (starts_with(token, 'scan') OR ends_with(token, 'scan')) AND token <> 'scan'
+    GROUP BY token
+    """,
+)
+def subword_counts(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(TX.ws_tokens(F.col("text"))).alias("token"))
+    return (
+        tok.filter(
+            (F.col("token").startswith("scan") | F.col("token").endswith("scan"))
+            & (F.col("token") != "scan")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "token_counts",
+    """
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS n_ws,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count_ws(F.col("text")).alias("n_ws"),
+        TX.token_count_bpe(F.col("text")).alias("n_bpe"),
+    )
+
+
+@q(
+    "quality_scores",
+    """
+    SELECT doc_id, round(
+        least(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              / 100.0, 1.0) * 0.25
+      + (len(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0
+         / len(text)) * 0.35
+      + greatest(0.0, 1.0 - (len(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+         / len(text)) * 3) * 0.15
+      + greatest(0.0, least(
+          1.0 - abs(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> list_contains({stopwords}, x))) * 1.0
+                    / len(list_filter(string_split_regex(lower(text), '\\s+'),
+                          x -> x <> '')) - 0.4) / 0.4, 1.0)) * 0.25
+      , 6) AS quality
+    FROM documents WHERE len(text) > 0
+    """.replace("{stopwords}", "[" + ",".join(f"'{s}'" for s in TX.STOPWORDS) + "]"),
+)
+def quality_scores(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
+
+
+def _lang_oracle() -> str:
+    score = {
+        lg: (
+            "len(list_filter(string_split_regex(lower(text), '\\s+'),"
+            f" x -> list_contains([{', '.join(chr(39) + m + chr(39) for m in ms)}], x)))"
+        )
+        for lg, ms in TX.LANG_MARKERS.items()
+    }
+    langs = sorted(score)
+    best = "greatest(" + ", ".join(score[lg] for lg in langs) + ")"
+    case = "CASE "
+    for lg in langs:
+        case += f"WHEN {score[lg]} > 0 AND {score[lg]} = {best} THEN '{lg}' "
+    case += "ELSE 'und' END"
+    return f"SELECT {case} AS lang_guess, count(*) AS n FROM documents GROUP BY 1"
+
+
+@q("lang_id_counts", _lang_oracle())
+def lang_id_counts(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(TX.lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))), ' '))
+             AS fingerprint,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
+                 t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.doc_fingerprint(F.col("text")).alias("fingerprint"),
+        TX.rolling_hash(F.col("text")).alias("rhash"),
+    )
+
+
+@q(
+    "inverted_index_stats",
+    """
+    SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_tf,
+           min(doc_id) AS first_doc
+    FROM (SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS term
+          FROM documents)
+    GROUP BY term
+    """,
+)
+def inverted_index_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    ex = d.select("doc_id", F.explode(TX.ws_tokens(F.col("text"))).alias("term"))
+    return ex.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count("*").alias("total_tf"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@q(
+    "winner_per_lang",
+    """
+    SELECT lang, doc_id, n_chars FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def winner_per_lang(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    order = F.struct(F.col("n_chars").alias("c"), (-F.col("doc_id")).alias("i"))
+    return d.groupBy("lang").agg(
+        F.max_by("doc_id", order).alias("doc_id"),
+        F.max("n_chars").alias("n_chars"),
+    ).select("lang", "doc_id", "n_chars")
+
+
+@q(
+    "cleaner_keep_lines",
+    """
+    SELECT doc_id,
+      array_to_string(list_filter(string_split(text, chr(10)), line ->
+        len(list_filter(string_split_regex(trim(line), '\\s+'), x -> x <> '')) > 5
+        AND len(list_filter(string_split_regex(trim(line), '\\s+'),
+                x -> regexp_matches(x, '[a-zA-Z0-9]'))) * 1.0
+            / len(list_filter(string_split_regex(trim(line), '\\s+'), x -> x <> '')) > 0.65
+        AND len(list_filter(string_split_regex(trim(line), '\\s+'),
+                x -> regexp_matches(x, '^[^a-zA-Z]*[0-9][^a-zA-Z]*$'))) * 1.0
+            / len(list_filter(string_split_regex(trim(line), '\\s+'), x -> x <> '')) < 0.3
+      ), chr(10)) AS kept
+    FROM documents
+    """,
+)
+def cleaner_keep_lines(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    from commoncrawlscalatools_spark.functions.cleaner import keep_lines
+
+    return d.select("doc_id", keep_lines(F.col("text")).alias("kept"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup (exact / minhash / simhash / jaccard) on documents
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "exact_dedup_docs",
+    """
+    SELECT doc_id FROM (
+      SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents) WHERE rn = 1
+    """,
+)
+def exact_dedup_docs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return DD.exact_dedup(d, "text", "doc_id").select("doc_id")
+
+
+_SHINGLES_SQL = (
+    "list_distinct(list_transform("
+    " list_transform(range(1, greatest(len(toks) - 2, 0) + 1),"
+    "   i -> array_to_string(toks[i:i+2], ' ')),"
+    " g -> CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT)))"
+)
+
+
+def _jaccard_oracle(threshold: float) -> str:
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents)
+    ), nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                 (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
+    FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles)) > 0
+      AND len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+          (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles))) >= {threshold}
+    """
+
+
+@q("ngram_jaccard_pairs", _jaccard_oracle(0.2))
+def ngram_jaccard_pairs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    sh = DD.with_shingles(d, "text", "doc_id", 3)
+    return DD.jaccard_pairs(sh, "shingles", "doc_id", threshold=0.2)
+
+
+def _minhash_sig_sql(num_perm: int) -> str:
+    mh = []
+    for i in range(num_perm):
+        a, b = DD.perm_params(i)
+        mh.append(
+            f"coalesce(list_min(list_transform(shingles,"
+            f" x -> (x * {a} + {b}) % {DD.P31})), {DD.P31}) AS mh_{i}"
+        )
+    return ", ".join(mh)
+
+
+def _minhash_bands_sql(num_perm: int, bands: int) -> str:
+    rows = num_perm // bands
+    parts = []
+    for b in range(bands):
+        concat = " || ',' || ".join(
+            f"mh_{i}::VARCHAR" for i in range(b * rows, (b + 1) * rows)
+        )
+        parts.append(f"SELECT doc_id, {b} AS band_id, md5({concat}) AS band_key FROM sig")
+    return " UNION ALL ".join(parts)
+
+
+def _minhash_pairs_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS shingles
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM documents)
+    ), nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
+    sig AS (SELECT doc_id, {_minhash_sig_sql(num_perm)} FROM nonempty),
+    banded AS ({_minhash_bands_sql(num_perm, bands)}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a AS id_a, c.id_b AS id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+                 (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cand c JOIN nonempty sa ON c.id_a = sa.doc_id
+                JOIN nonempty sb ON c.id_b = sb.doc_id
+    WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0 /
+          (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))) >= {threshold}
+    """
+
+
+@q("minhash_dedup_pairs", _minhash_pairs_oracle(64, 16, 0.5))
+def minhash_dedup_pairs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    sh = DD.with_shingles(d, "text", "doc_id", 3)
+    cands = DD.minhash_candidates(sh, "shingles", "doc_id", 64, 16, max_bucket=1_000_000)
+    return DD.jaccard_for_pairs(cands, sh, "doc_id", threshold=0.5)
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    """SimHash expression over `hashes` (list<bigint>) and `n` (len)."""
+    terms = []
+    for j in range(bits):
+        terms.append(
+            f"(CASE WHEN len(list_filter(hashes, h -> (h & {1 << j}) != 0)) * 2 > n"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+def _simhash_pairs_oracle(max_hamming: int = 3, bits: int = 32, bands: int = 4) -> str:
+    seg_bits = bits // bands
+    mask = (1 << seg_bits) - 1
+    segs = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {s} AS seg_id, (simhash >> {s * seg_bits}) & {mask} AS seg_val FROM sh"
+        for s in range(bands)
+    )
+    return f"""
+    WITH hx AS (
+      SELECT doc_id,
+             list_transform(list_distinct(
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '')),
+               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hashes,
+             len(list_distinct(
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS n
+      FROM documents),
+    sh AS (SELECT doc_id, {_simhash_sql(bits)} AS simhash FROM hx),
+    banded AS ({segs})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.seg_id = b.seg_id AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@q("simhash_pairs", _simhash_pairs_oracle(3, 32, 4))
+def simhash_pairs(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return DD.simhash_near_pairs(d, "text", "doc_id", max_hamming=3, bits=32, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), {q})"
+    " / (sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),"
+    "          list_transform(e.embedding, x -> x::DOUBLE)))"
+    "    * sqrt(list_dot_product({q}, {q})))"
+)
+
+
+def _query_vec(spark, sf_dir) -> list[float]:
+    row = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+def _cos_topk_oracle() -> str:
+    q_sql = (
+        "(SELECT list_transform(embedding, x -> x::DOUBLE) FROM embeddings WHERE vec_id = 0)"
+    )
+    cos = _COS_SQL.replace("{q}", q_sql)
+    return f"""
+    SELECT vec_id, cos_sim FROM (
+      SELECT e.vec_id AS vec_id, round({cos}, 6) AS cos_sim FROM embeddings e)
+    ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+
+@q("ann_cosine_topk", _cos_topk_oracle())
+def ann_cosine_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    return SM.cosine_topk(e, _query_vec(spark, sf_dir), "embedding", "vec_id", k=10)
+
+
+@q(
+    "knn_join_labels",
+    """
+    WITH qs AS (SELECT vec_id AS q_id, list_transform(embedding, x -> x::DOUBLE) AS qv
+                FROM embeddings WHERE vec_id < 3)
+    SELECT q_id, vec_id, cos_sim FROM (
+      SELECT qs.q_id AS q_id, e.vec_id AS vec_id,
+             round(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), qs.qv)
+               / (sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                        list_transform(e.embedding, x -> x::DOUBLE)))
+                  * sqrt(list_dot_product(qs.qv, qs.qv))), 6) AS cos_sim,
+             row_number() OVER (PARTITION BY qs.q_id
+                                ORDER BY round(list_dot_product(
+                                    list_transform(e.embedding, x -> x::DOUBLE), qs.qv)
+               / (sqrt(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE),
+                        list_transform(e.embedding, x -> x::DOUBLE)))
+                  * sqrt(list_dot_product(qs.qv, qs.qv))), 6) DESC, e.vec_id) AS rn
+      FROM qs CROSS JOIN embeddings e) WHERE rn <= 5
+    """,
+)
+def knn_join_labels(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return SM.knn_join(qs, e, "qv", "embedding", "q_id", "vec_id", k=5)
+
+
+# ---------------------------------------------------------------------------
+# URL / frontier queries (URLs synthesized identically in both engines)
+# ---------------------------------------------------------------------------
+
+# Deterministic URL synth from the documents table — both engines build the
+# exact same strings, then the Spark side must canonicalize/schedule them
+# correctly (the oracle knows the expected output by construction).
+_URL_SQL = """
+  'https://' ||
+  (CASE WHEN doc_id % 2 = 0
+        THEN upper('www.' || source || '.example.' ||
+             (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END))
+        ELSE 'www.' || source || '.example.' ||
+             (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) END) ||
+  (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+  '/p/' || doc_id ||
+  (CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' ELSE '' END) ||
+  (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+"""
+
+
+def _urls_df(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, "com")
+        .when(F.col("doc_id") % 3 == 1, "org")
+        .otherwise("net")
+    )
+    host = F.concat(F.lit("www."), F.col("source"), F.lit(".example."), tld)
+    host = F.when(F.col("doc_id") % 2 == 0, F.upper(host)).otherwise(host)
+    url = F.concat(
+        F.lit("https://"),
+        host,
+        F.when(F.col("doc_id") % 5 == 0, ":443").otherwise(""),
+        F.lit("/p/"),
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, "?b=2&a=1").otherwise(""),
+        F.when(F.col("doc_id") % 7 == 0, "#frag").otherwise(""),
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+_CANON_SQL = """
+  'https://www.' || source || '.example.' ||
+  (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) ||
+  '/p/' || doc_id ||
+  (CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2' ELSE '' END)
+"""
+
+
+@q(
+    "url_canonicalize",
+    f"SELECT doc_id, {_CANON_SQL} AS canonical FROM documents",
+)
+def url_canonicalize(spark, sf_dir):
+    urls = _urls_df(spark, sf_dir)
+    return urls.select("doc_id", U.canonical_url(F.col("url")).alias("canonical"))
+
+
+@q(
+    "tld_counts",
+    """
+    SELECT (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) AS tld,
+           count(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def tld_counts(spark, sf_dir):
+    urls = _urls_df(spark, sf_dir)
+    return (
+        urls.select(U.url_tld(F.col("url")).alias("tld"))
+        .groupBy("tld")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "url_seen_antijoin",
+    f"""
+    WITH cand AS (SELECT doc_id, {_CANON_SQL} AS canonical FROM documents),
+    seen AS (SELECT {_CANON_SQL} AS canonical FROM documents WHERE doc_id % 2 = 0)
+    SELECT doc_id, canonical FROM cand
+    WHERE canonical NOT IN (SELECT canonical FROM seen)
+    """,
+)
+def url_seen_antijoin(spark, sf_dir):
+    urls = _urls_df(spark, sf_dir)
+    canon = urls.select("doc_id", U.canonical_url(F.col("url")).alias("canonical"))
+    seen = canon.filter(F.col("doc_id") % 2 == 0).select("canonical")
+    return canon.join(seen, "canonical", "left_anti").select("doc_id", "canonical")
+
+
+@q(
+    "frontier_schedule",
+    f"""
+    WITH cand AS (
+      SELECT doc_id, {_CANON_SQL} AS url,
+             'www.' || source || '.example.' ||
+             (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END) AS host,
+             doc_id * 1.0 AS priority
+      FROM documents),
+    ranked AS (
+      SELECT host, url, priority,
+             row_number() OVER (PARTITION BY host ORDER BY priority DESC) AS fetch_seq
+      FROM cand)
+    SELECT host, url, fetch_seq, (fetch_seq - 1) * 1000 AS not_before_ms
+    FROM ranked WHERE fetch_seq <= 20
+    """,
+)
+def frontier_schedule(spark, sf_dir):
+    urls = _urls_df(spark, sf_dir)
+    # unique global priorities (doc_id) ⇒ the url_hash tie-break never fires,
+    # so the oracle can reproduce the order without xxhash64
+    from commoncrawlscalatools_spark.operators.frontier import (
+        as_frontier_rows,
+        canonicalize_seeds,
+    )
+
+    seeds = urls.select("url", F.col("doc_id").cast("double").alias("priority"))
+    frontier = as_frontier_rows(canonicalize_seeds(seeds), 0)
+    sched = schedule_round(
+        frontier, host_state=None, robots_delays=None, round_no=1, per_host_cap=20
+    )
+    return sched.select("host", "url", "fetch_seq", "not_before_ms")
+
+
+# ---------------------------------------------------------------------------
+# Events (windowed agg, sessionization, running agg)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "windowed_event_agg",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def windowed_event_agg(spark, sf_dir):
+    return ST.windowed_event_agg(t(spark, sf_dir, "events"), "1 hour")
+
+
+@q(
+    "sessionize_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, value,
+             sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           round(sum(value), 6) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    return ST.sessionize(t(spark, sf_dir, "events"), gap_minutes=30)
+
+
+@q(
+    "running_value_per_user",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 6) AS running_value
+    FROM events
+    """,
+)
+def running_value_per_user(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 6).alias("running_value")
+    )
+
+
+@q(
+    "event_props_extract",
+    """
+    SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def event_props_extract(spark, sf_dir):
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "media_metadata_stats",
+    """
+    SELECT octet_length(encode(text)) AS n_bytes, md5(text) AS content_hash, doc_id
+    FROM documents
+    """,
+)
+def media_metadata_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("content_hash"),
+        "doc_id",
+    )
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    return dict(ORACLES)

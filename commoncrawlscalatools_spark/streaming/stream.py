@@ -11,6 +11,9 @@ checkable; the streaming wrapper drives the same plan incrementally.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -41,7 +44,16 @@ def windowed_event_agg_streaming(
     """Same plan driven as a stream (file source → memory sink), with a
     watermark for late data; returns the materialized result."""
     schema = spark.read.parquet(events_path).schema
-    stream = spark.readStream.schema(schema).parquet(events_path)
+    src = events_path
+    if os.path.isfile(events_path):
+        # the file stream source requires a directory — stage a symlink
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(os.path.abspath(events_path), os.path.join(d, os.path.basename(events_path)))
+        src = d
+    stream = spark.readStream.schema(schema).parquet(src)
+    # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC so
+    # the cast is value-preserving
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         stream.withWatermark("ts", "1 day")
         .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
@@ -75,7 +87,8 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     the previous event exceeds `gap_minutes`; session_id = cumulative count
     of session starts (lag + running sum — one shuffle on user_id)."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ-safe (UTC session)
+    gap = epoch - F.lag(epoch).over(w)
     is_start = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
     with_start = events.withColumn("is_start", is_start)
     sess = F.sum("is_start").over(

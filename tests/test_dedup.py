@@ -1,0 +1,100 @@
+"""Dedup pipeline tests on known duplicate clusters (FIXTURES.md §8):
+exact dups, ~90%-overlap mutations, unrelated docs; one winner per cluster
+by relevance (createCorpus.scala:205-219 semantics)."""
+
+from pyspark.sql import functions as F
+
+from commoncrawlscalatools_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_for_pairs,
+    minhash_candidates,
+    minhash_dedup,
+    simhash_near_pairs,
+    with_shingles,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the spark engine "
+    "shuffles partitions across the cluster and the optimizer prunes columns "
+    "for every scan in the pipeline today"
+)
+MUT = BASE.replace("lazy dog", "sleepy cat")  # near-dup (~90% shingle overlap)
+OTHER = (
+    "completely different content about cooking recipes with tomatoes basil "
+    "olive oil garlic onions and a pinch of salt simmered slowly for hours "
+    "until the sauce thickens nicely in the pan"
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, BASE, 0.9),
+        (2, BASE, 0.5),  # exact dup of 1, lower relevance
+        (3, MUT, 0.7),  # near dup of 1
+        (4, OTHER, 0.8),
+        (5, "tiny", 0.1),  # too short to shingle
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "relevance"])
+
+
+def test_exact_dedup_winner_by_relevance(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id", "relevance")
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == [1, 3, 4, 5]  # doc 2 loses to doc 1 (lower relevance)
+
+
+def test_exact_dedup_winner_by_min_id(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id")
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert ids == [1, 3, 4, 5]
+
+
+def test_minhash_candidates_catch_exact_and_near(spark):
+    sh = with_shingles(_docs(spark), "text", "doc_id", 3)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_candidates(sh, "shingles", "doc_id", 64, 16).collect()
+    }
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup should collide
+
+
+def test_jaccard_for_pairs_values(spark):
+    sh = with_shingles(_docs(spark), "text", "doc_id", 3)
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], ["id_a", "id_b"])
+    out = {(r["id_a"], r["id_b"]): r["jaccard"] for r in jaccard_for_pairs(pairs, sh, "doc_id").collect()}
+    assert out[(1, 2)] == 1.0  # identical docs
+    assert out[(1, 4)] < 0.05  # unrelated
+
+
+def test_minhash_dedup_one_winner_per_cluster(spark):
+    out = minhash_dedup(
+        _docs(spark), "text", "doc_id", relevance_col="relevance", threshold=0.5
+    )
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # cluster {1,2,3}: winner is 1 (relevance 0.9); 4 unrelated survives;
+    # 5 has no shingles → never considered a duplicate → survives
+    assert ids == [1, 4, 5]
+
+
+def test_minhash_dedup_deterministic_across_partitioning(spark):
+    d = _docs(spark)
+    a = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(d.repartition(1), "text", "doc_id").collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in minhash_dedup(d.repartition(7), "text", "doc_id").collect()
+    )
+    assert a == b
+
+
+def test_simhash_identical_distance_zero(spark):
+    d = _docs(spark)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(d, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical text → identical simhash
+    assert (1, 4) not in pairs  # unrelated docs don't appear

@@ -1,0 +1,105 @@
+"""Stream/topic filter behavior tests, mirroring
+FourForumsWARCTopicFilterSpec.scala (threshold criteria, subword separator
+policy "segundo"/"begun" vs "gun" at levels 0/1/2) and
+FourForumsWARCStreamFilterSpec (keyword stuffing rejected by detailCheck)."""
+
+from pyspark.sql import functions as F
+
+from commoncrawlscalatools_spark.operators.filters import (
+    TopicFilterConfig,
+    categories_expr,
+    category_counts_map,
+    detail_check_expr,
+    keyword_pattern,
+    mention_count,
+    stream_filter,
+)
+
+
+def _count(spark, text: str, kw: str, level: int) -> int:
+    df = spark.createDataFrame([(text,)], ["t"])
+    return df.select(
+        F.regexp_count(F.col("t"), F.lit(keyword_pattern(kw, level)))
+    ).collect()[0][0]
+
+
+def test_separator_levels(spark):
+    # FourForumsWARCTopicFilterSpec.scala:142-260 semantics
+    assert _count(spark, "the gun is here", "gun", 0) == 1
+    assert _count(spark, "it has begun already", "gun", 0) == 1  # subword hit
+    assert _count(spark, "segundo piso", "gun", 0) == 1
+    # level 1: separator on at least one side
+    assert _count(spark, "the gun is here", "gun", 1) == 1
+    assert _count(spark, "it has begun already", "gun", 1) == 1  # 'begun ' → right sep
+    assert _count(spark, "segundo piso", "gun", 1) == 0
+    # level 2: separator on both sides
+    assert _count(spark, "the gun is here", "gun", 2) == 1
+    assert _count(spark, "it has begun already", "gun", 2) == 0
+    assert _count(spark, "segundo piso", "gun", 2) == 0
+    # plural still caught at level 0/1 via 'guns' keyword in config
+    assert _count(spark, "many guns around", "guns", 2) == 1
+
+
+def test_case_insensitive_count(spark):
+    assert _count(spark, "Gun gUn GUN gun", "gun", 0) == 4
+
+
+def test_topic_categorize_thresholds(spark):
+    cfg = TopicFilterConfig(
+        core={"guncontrol": ["gun", "guns"]},
+        secondary={"guncontrol": ["strict", "control"]},
+    )
+    # defaults: min_core = 2 (two core kws), min_secondary = 2
+    rows = [
+        ("gun gun strict control", ["guncontrol"]),  # 2 core + 2 sec
+        ("gun strict control", []),  # only 1 core mention
+        ("gun guns strict", []),  # only 1 secondary
+        ("no keywords at all", []),
+    ]
+    df = spark.createDataFrame([(t,) for t, _ in rows], ["text"])
+    out = df.select("text", categories_expr(F.col("text"), cfg).alias("cats")).collect()
+    got = {r["text"]: r["cats"] for r in out}
+    for text, expected in rows:
+        assert got[text] == expected, text
+
+
+def test_category_counts_map(spark):
+    cfg = TopicFilterConfig(
+        core={"guncontrol": ["gun", "guns"]},
+        secondary={"guncontrol": ["strict", "control"]},
+    )
+    df = spark.createDataFrame([("gun guns strict control control",)], ["text"])
+    m = df.select(category_counts_map(F.col("text"), cfg).alias("m")).collect()[0]["m"]
+    # 'gun' matches inside 'guns' too at level 0 → 2 + 1 = 3 core mentions
+    assert m["guncontrol"]["core"] == 3
+    assert m["guncontrol"]["secondary"] == 3
+
+
+def test_stream_filter_two_phase(spark):
+    good = "the gun debate " + "is long and detailed with many words here " * 2
+    stuffing = "gun " * 200  # chunk of 200 words → fails 7<words<50 detailCheck
+    short = "gun"  # phase-1 hit but chunk too short
+    none = "nothing relevant in this text at all today friends"
+    df = spark.createDataFrame(
+        [(1, good), (2, stuffing), (3, short), (4, none)], ["id", "text"]
+    )
+    out = stream_filter(df, "text", ["gun"], minmentions=1)
+    assert [r["id"] for r in out.select("id").collect()] == [1]
+
+
+def test_detail_check_bound(spark):
+    # only the first max_chunks chunks are scanned
+    text = ("filler words " * 5 + "\n") * 3 + "the gun appears here in a sentence of many words\n"
+    df = spark.createDataFrame([(text,)], ["text"])
+    hit = df.select(detail_check_expr(F.col("text"), ["gun"], 5000)).collect()[0][0]
+    assert hit is True
+    miss = df.select(detail_check_expr(F.col("text"), ["zebra"], 5000)).collect()[0][0]
+    assert miss is False
+
+
+def test_mention_count_sums_keywords(spark):
+    df = spark.createDataFrame([("gun abortion gun evolution",)], ["t"])
+    n = df.select(
+        mention_count(F.col("t"), ["gun", "abortion", "evolution", "god"])
+    ).collect()[0][0]
+    assert n == 4

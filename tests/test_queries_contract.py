@@ -1,0 +1,66 @@
+"""Driver-contract sanity: every queries() entry runs and matches its
+DuckDB oracle on a fast subset (the full sweep is tools/check_oracle.py)."""
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SUBSET = [
+    "q1_pricing_summary",
+    "topic_filter_docs",
+    "exact_dedup_docs",
+    "url_canonicalize",
+    "frontier_schedule",
+    "ann_cosine_topk",
+    "windowed_event_agg",
+]
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _norm(v):
+    import math
+
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else f"{v:.6f}"
+    return str(v)
+
+
+def test_entry_runs(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "spans" in df.columns and "doc_id" in df.columns
+
+
+def test_every_query_has_oracle():
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 30
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    sdf = qs[name](spark, sf_dir)
+    s_cols = sdf.columns
+    res = duck.execute(oracles[name])
+    d_cols = [d[0] for d in res.description]
+    assert sorted(s_cols) == sorted(d_cols)
+    order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+    order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+    s_rows = sorted(tuple(_norm(r[i]) for i in order_s) for r in sdf.collect())
+    d_rows = sorted(tuple(_norm(r[i]) for i in order_d) for r in res.fetchall())
+    assert s_rows == d_rows

@@ -1,0 +1,53 @@
+"""Similarity search vs a numpy oracle; LSH bucket recall sanity."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from commoncrawlscalatools_spark.operators.similarity import (
+    cosine_topk,
+    knn_join,
+    lsh_cosine_topk,
+)
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    e = _embeddings(spark, sf_dir)
+    rows = e.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[ids.tolist().index(0)]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(np.round(cos, 6), -ids), reverse=True)[:10]
+    expected = [(int(-i), float(c)) for c, i in order]
+    got = [
+        (r["vec_id"], r["cos_sim"])
+        for r in cosine_topk(e, [float(x) for x in q], "embedding", "vec_id", 10).collect()
+    ]
+    assert got == expected
+
+
+def test_lsh_topk_subset_of_bucket(spark, sf_dir):
+    e = _embeddings(spark, sf_dir)
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    out = lsh_cosine_topk(e, q, "embedding", "vec_id", k=5, n_planes=3).collect()
+    assert len(out) > 0
+    assert out[0]["vec_id"] == 0 and out[0]["cos_sim"] == 1.0  # query finds itself
+
+
+def test_knn_join_topk_per_query(spark, sf_dir):
+    e = _embeddings(spark, sf_dir)
+    qs = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    out = knn_join(qs, e, "qv", "embedding", "q_id", "vec_id", k=4).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert set(per_q) == {0, 1}
+    for q_id, rows in per_q.items():
+        assert len(rows) == 4
+        assert max(r["cos_sim"] for r in rows) == 1.0  # self is nearest
