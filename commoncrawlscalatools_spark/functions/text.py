@@ -86,7 +86,7 @@ def stopword_anchored_shingles(text: Column, width: int = 6) -> Column:
     (reference used MurmurHash3 seed 0 — any stable 64-bit hash preserves
     the dedup semantics)."""
     toks = ws_tokens(text)
-    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    sw = F.lit(STOPWORDS)  # Literal, not CreateArray (constant-folded)
     idx = F.when(F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks))).otherwise(
         F.array().cast("array<int>")
     )
@@ -116,7 +116,7 @@ def digit_ratio(text: Column) -> Column:
 
 def stopword_ratio(text: Column) -> Column:
     toks = ws_tokens(F.lower(text))
-    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    sw = F.lit(STOPWORDS)  # Literal, not CreateArray (constant-folded)
     n = F.size(toks)
     hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return F.when(n > 0, hits.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
@@ -153,7 +153,7 @@ def lang_scores(text: Column) -> dict[str, Column]:
     toks = ws_tokens(F.lower(text))
     out = {}
     for lang, markers in LANG_MARKERS.items():
-        marr = F.array(*[F.lit(m) for m in markers])
+        marr = F.lit(markers)
         out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
     return out
 

@@ -52,30 +52,47 @@ def canonical_url(url: Column) -> Column:
     dropped, empty path → '/', query params sorted lexicographically.
 
     Returns NULL for URLs with no scheme://host structure (malformed).
+
+    Parsed with substring_index/split (cheap, codegen'd string scans)
+    rather than a battery of regexes — one anchored rlike validates the
+    scheme; at crawl scale canonicalization runs on every outlink every
+    round, and the regex version was the top CPU item in the round profile.
     """
     trimmed = F.trim(url)
-    no_frag = F.regexp_replace(trimmed, "#.*", "")
-    scheme = url_scheme(no_frag)
-    hostport = F.element_at(F.split(url_hostport(no_frag), "@"), -1)
-    host = F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1))
-    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    valid = trimmed.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]") & ~trimmed.rlike(
+        r"^[A-Za-z][A-Za-z0-9+.-]*://[@:/?#]"
+    )
+    no_frag = F.substring_index(trimmed, "#", 1)
+    scheme = F.lower(F.substring_index(no_frag, "://", 1))
+    rest = F.substring(no_frag, F.length(scheme) + 4, F.lit(1 << 30))
+    # authority = up to the first '/' or '?' of rest
+    before_q = F.substring_index(rest, "?", 1)
+    authority = F.substring_index(before_q, "/", 1)
+    hostport = F.substring_index(authority, "@", -1)
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    port = F.when(
+        F.instr(hostport, ":") > 0, F.substring_index(hostport, ":", -1)
+    ).otherwise(F.lit(""))
     default_port = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")
     )
     port_part = F.when((port != "") & ~default_port, F.concat(F.lit(":"), port)).otherwise(
         F.lit("")
     )
-    path = F.regexp_extract(no_frag, _PATH_RE, 1)
+    after_auth = F.substring(
+        rest, F.length(authority) + 1, F.lit(1 << 30)
+    )
+    path = F.substring_index(after_auth, "?", 1)
     path = F.when(path == "", F.lit("/")).otherwise(path)
-    query = F.regexp_extract(no_frag, r"\?([^#]*)", 1)
+    query = F.when(
+        F.instr(after_auth, "?") > 0, F.substring_index(after_auth, "?", -1)
+    ).otherwise(F.lit(""))
     q_sorted = F.array_join(
         F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")), "&"
     )
     q_part = F.when(q_sorted != "", F.concat(F.lit("?"), q_sorted)).otherwise(F.lit(""))
     out = F.concat(scheme, F.lit("://"), host, port_part, path, q_part)
-    return F.when((scheme != "") & (host != ""), out).otherwise(
-        F.lit(None).cast("string")
-    )
+    return F.when(valid & (host != ""), out).otherwise(F.lit(None).cast("string"))
 
 
 def url_hash(canonical: Column) -> Column:

@@ -48,6 +48,11 @@ class CrawlConfig:
     use_bloom: bool = True
     shuffle_partitions: int | None = None
     doc_coalesce: int | None = None  # coalesce docs before write (small rounds)
+    # W6 slow-kill (reference: ParserTooSlowException + min-throughput kill,
+    # Parser.scala:92-176, ProcessWETPaths.scala:77-95): abort the loop when
+    # a round's docs/s drops below the floor; state is committed, so a
+    # resume retries from the completed round.
+    min_docs_per_s: float | None = None
 
 
 class CrawlEngine:
@@ -173,6 +178,10 @@ class CrawlEngine:
             "wall_s": round(wall, 3),
             "docs_per_s": round(n_docs / wall, 1) if wall > 0 else 0.0,
         }
+        metrics["slow"] = bool(
+            self.config.min_docs_per_s is not None
+            and metrics["docs_per_s"] < self.config.min_docs_per_s
+        )
         self.store.write(
             "metrics",
             self.spark.createDataFrame([metrics]),
@@ -189,5 +198,11 @@ class CrawlEngine:
         done = self.latest_round()
         out = []
         for r in range(done + 1, rounds + 1):
-            out.append(self.run_round(r))
+            m = self.run_round(r)
+            out.append(m)
+            if m.get("slow"):
+                # W6: stop the loop; the committed snapshot makes the retry
+                # point explicit (reference killed the parser task and
+                # requeued the path)
+                break
         return out

@@ -24,7 +24,6 @@ from pyspark.sql.window import Window as W
 
 from commoncrawlscalatools_spark.functions import text as TX
 from commoncrawlscalatools_spark.functions import urls as U
-from commoncrawlscalatools_spark.functions.cleaner import keep_line_expr
 from commoncrawlscalatools_spark.operators import dedup as DD
 from commoncrawlscalatools_spark.operators import filters as FL
 from commoncrawlscalatools_spark.operators import relevance as RV
@@ -952,6 +951,232 @@ def media_metadata_stats(spark, sf_dir):
         F.length(payload).alias("n_bytes"),
         F.md5(payload).alias("content_hash"),
         "doc_id",
+    )
+
+
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: full dedup pipeline, stopword shingles, pivots/cube,
+# J1 content join, frontier reclaim, filename derivation, rows-only ops
+# ---------------------------------------------------------------------------
+
+_SW_LIST = "[" + ",".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+
+
+def _minhash_survivors_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+    pairs = _minhash_pairs_oracle(num_perm, bands, threshold)
+    return f"""
+    WITH vp AS ({pairs}),
+    rel AS (SELECT doc_id, n_chars FROM documents),
+    edges AS (
+      SELECT id_a AS x, id_b AS y FROM vp
+      UNION ALL SELECT id_b AS x, id_a AS y FROM vp),
+    dominated AS (
+      SELECT DISTINCT e.x AS doc_id
+      FROM edges e JOIN rel rx ON e.x = rx.doc_id JOIN rel ry ON e.y = ry.doc_id
+      WHERE ry.n_chars > rx.n_chars OR (ry.n_chars = rx.n_chars AND e.y < e.x))
+    SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
+    """
+
+
+@q("minhash_dedup_survivors", _minhash_survivors_oracle())
+def minhash_dedup_survivors(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return DD.minhash_dedup(
+        d, "text", "doc_id", relevance_col="n_chars", ngram=3, threshold=0.5
+    ).select("doc_id")
+
+
+@q(
+    "stopword_shingle_counts",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tk),
+    sh AS (
+      SELECT doc_id, count(DISTINCT array_to_string(toks[i:i+5], ' ')) AS n
+      FROM pos WHERE list_contains({_SW_LIST}, lower(toks[i]))
+      GROUP BY doc_id)
+    SELECT d.doc_id AS doc_id, coalesce(s.n, 0) AS n_shingles
+    FROM documents d LEFT JOIN sh s ON d.doc_id = s.doc_id
+    """,
+)
+def stopword_shingle_counts(spark, sf_dir):
+    """Reference shingler F4 (createCorpus.scala:111-152): window count is
+    hash-independent, so the oracle checks the anchored-window semantics."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(TX.stopword_anchored_shingles(F.col("text"), 6)).alias("n_shingles"),
+    )
+
+
+@q(
+    "relevance_content_join",
+    """
+    WITH topk AS (
+      SELECT doc_id, relevance FROM (
+        SELECT doc_id,
+               round(({0} + {1}) * 10.0
+                     / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 6)
+               AS relevance
+        FROM documents)
+      WHERE relevance > 0.1 ORDER BY relevance DESC, doc_id LIMIT 50)
+    SELECT d.doc_id AS doc_id, k.relevance AS relevance, d.n_chars AS n_chars
+    FROM documents d JOIN topk k ON d.doc_id = k.doc_id
+    """.format(_sql_count("text", "join"), _sql_count("text", "merge")),
+)
+def relevance_content_join(spark, sf_dir):
+    """Reference J1 (createCorpus.scala:314-325): top-K ids joined back to
+    the content table; the tiny top-K side broadcasts."""
+    d = t(spark, sf_dir, "documents")
+    topk = RV.search_topk(d, ["join", "merge"], "text", "doc_id", k=50)
+    return RV.fetch_content_for_topk(topk, d).select("doc_id", "relevance", "n_chars")
+
+
+@q(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F").alias("n_f"),
+        F.col("O").alias("n_o"),
+        F.col("P").alias("n_p"),
+    )
+
+
+@q(
+    "cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")
+    )
+
+
+@q(
+    "frontier_reclaim",
+    """
+    SELECT o_orderkey AS key, 'pending' AS new_state, 1 AS retries
+    FROM orders WHERE o_orderstatus = 'P'
+    """,
+)
+def frontier_reclaim(spark, sf_dir):
+    """Reference W2 (GetWETPaths.scala:15-31): started && !finished rows are
+    reclaimed — re-queued as pending with a retry increment. States mapped
+    from the orders fixture (P = in-flight/abandoned)."""
+    o = t(spark, sf_dir, "orders")
+    inflight = o.filter(F.col("o_orderstatus") == "P")
+    return inflight.select(
+        F.col("o_orderkey").alias("key"),
+        F.lit("pending").alias("new_state"),
+        F.lit(1).alias("retries"),
+    )
+
+
+@q(
+    "corpus_filenames",
+    """
+    SELECT doc_id,
+           (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+           || '-' || md5(text) || '.txt' AS filename
+    FROM documents
+    """,
+)
+def corpus_filenames(spark, sf_dir):
+    """Reference F11 (SaveResultsToFile.scala:34-40): record id → export
+    filename `tldn-id.txt`."""
+    d = t(spark, sf_dir, "documents")
+    tld = (
+        F.when(F.col("doc_id") % 3 == 0, "com")
+        .when(F.col("doc_id") % 3 == 1, "org")
+        .otherwise("net")
+    )
+    return d.select(
+        "doc_id",
+        F.concat(tld, F.lit("-"), F.md5(F.col("text")), F.lit(".txt")).alias("filename"),
+    )
+
+
+# ---- rows-only entries (no SQL-expressible oracle; driver records a
+# weaker rows-only check; pytest holds the strong invariants) --------------
+
+
+@q("cleaner_full")
+def cleaner_full(spark, sf_dir):
+    """Full PrepareDocument-style cleaner (Arrow UDF; golden tests in
+    tests/test_cleaner.py)."""
+    from commoncrawlscalatools_spark.functions.cleaner import clean_documents
+
+    d = t(spark, sf_dir, "documents")
+    return d.select("doc_id", clean_documents(F.col("text")).alias("cleaned"))
+
+
+@q("bloom_seen_state")
+def bloom_seen_state(spark, sf_dir):
+    """Per-bucket Bloom URL-seen state as data (operators/seen.py); exact
+    equivalence vs the authoritative table is tested in
+    tests/test_frontier.py::test_bloom_no_false_negatives_and_exact_equivalence."""
+    from commoncrawlscalatools_spark.operators.seen import build_bloom
+
+    urls = _urls_df(spark, sf_dir)
+    seen = urls.select(U.url_hash(U.canonical_url(F.col("url"))).alias("url_hash"))
+    return build_bloom(seen, n_buckets=16).select(
+        "bucket", "n_bits", "n_hashes", "n_items"
+    )
+
+
+@q("crawl_round_docs")
+def crawl_round_docs(spark, sf_dir):
+    """One full in-memory crawl round (schedule → fetch → extract); the
+    span-sequence invariant is asserted against a pure-Python oracle in
+    tests/test_crawl.py::test_span_sequence_equality_vs_oracle."""
+    from commoncrawlscalatools_spark.operators.frontier import (
+        as_frontier_rows,
+        canonicalize_seeds,
+        schedule_round,
+    )
+    from commoncrawlscalatools_spark.sources.fetch import fetch_and_extract
+
+    urls = _urls_df(spark, sf_dir)
+    seeds = urls.select("url", (F.col("doc_id") % 100 / 100.0).alias("priority"))
+    frontier = as_frontier_rows(canonicalize_seeds(seeds), 0)
+    sched = schedule_round(frontier, None, None, 1, per_host_cap=1000)
+    docs = fetch_and_extract(sched, n_hosts=100)
+    return docs.select("doc_id", "url", "host", "fetch_seq", "n_text_spans", "n_media_spans")
+
+
+@q("ann_lsh_topk")
+def ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed ANN (scale path); recall vs brute force is sanity-tested
+    in tests/test_similarity.py."""
+    e = t(spark, sf_dir, "embeddings")
+    return SM.lsh_cosine_topk(
+        e, _query_vec(spark, sf_dir), "embedding", "vec_id", k=10, n_planes=3
     )
 
 

