@@ -63,12 +63,19 @@ def main():
         try:
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
+            arrow_types = {f.name: str(f.type) for f in res.fetch_arrow_table().schema}
+            res = con.execute(oracles[name])
             d_rows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
         problems = []
+        # The driver's value hash is typed: DuckDB HUGEINT (int128) never
+        # matches Spark BIGINT even when values are equal. Flag it hard.
+        wide = {c: ty for c, ty in arrow_types.items() if "128" in ty and "decimal" not in ty}
+        if wide:
+            problems.append(f"oracle has int128 cols (cast to BIGINT): {wide}")
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"schema spark={sorted(s_cols)} duck={sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
