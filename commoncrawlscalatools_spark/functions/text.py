@@ -20,13 +20,24 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# 27-word stopword list used by the reference shingler
-# (createCorpus.scala:111-121); reused for quality scoring.
+# Lucene-style stopword list used ONLY by the quality-score heuristic
+# (an engine addition, not a reference behavior).
 STOPWORDS = [
     "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
     "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
     "the", "their", "then", "there", "these", "they", "this", "to", "was",
     "will", "with",
+]
+
+# The reference shingler's exact 24-word stopword list
+# (createCorpus.scala:118-125: articles + be/have/do forms + modals).
+SHINGLE_STOPWORDS = [
+    "the", "a", "an",
+    "be", "is", "are", "am", "was", "were", "being", "been",
+    "can", "could",
+    "will", "would",
+    "have", "had", "having", "has",
+    "do", "did", "done", "doing", "does",
 ]
 
 # BPE-ish word/number/punct tokenizer (public GPT-2-style pattern, simplified
@@ -81,15 +92,33 @@ def ngram_shingles(text: Column, n: int = 3) -> Column:
 
 
 def stopword_anchored_shingles(text: Column, width: int = 6) -> Column:
-    """Reference shingler (createCorpus.scala:111-152): at each stopword
-    position, hash the next `width` tokens; distinct. Hashed with xxhash64
-    (reference used MurmurHash3 seed 0 — any stable 64-bit hash preserves
-    the dedup semantics)."""
-    toks = ws_tokens(text)
-    sw = F.lit(STOPWORDS)  # Literal, not CreateArray (constant-folded)
-    idx = F.when(F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks))).otherwise(
-        F.array().cast("array<int>")
+    """Reference shingler shingle_six (createCorpus.scala:111-152), exact
+    semantics: scan token positions 0,2,4,… (the reference advances 2 tokens
+    per step, :148); at a position whose token lowercases to one of the
+    24 SHINGLE_STOPWORDS emit the full `width`-token window; STOP when
+    fewer than `width` tokens remain (full windows only, :138); distinct.
+
+    Divergences kept deliberately: whitespace tokenization (reference
+    split(" ") — identical on single-spaced text) and xxhash64 in place of
+    MurmurHash3 seed 0 (any stable 64-bit hash preserves dedup semantics;
+    the hash value itself is never compared to reference output)."""
+    return F.transform(
+        stopword_anchored_windows(text, width), lambda w: F.xxhash64(w, F.lit(0))
     )
+
+
+def stopword_anchored_windows(text: Column, width: int = 6) -> Column:
+    """The distinct anchored window STRINGS behind
+    stopword_anchored_shingles — hash-free so tests and oracles can check
+    the exact reference semantics."""
+    toks = ws_tokens(text)
+    sw = F.lit(SHINGLE_STOPWORDS)  # Literal, not CreateArray (constant-folded)
+    # 1-based anchors 1,3,5,…  ≤ size-width+1  ⇔ 0-based even positions with
+    # a full window remaining
+    idx = F.when(
+        F.size(toks) >= width,
+        F.sequence(F.lit(1), F.size(toks) - (width - 1), F.lit(2)),
+    ).otherwise(F.array().cast("array<int>"))
     windows = F.transform(
         idx,
         lambda i: F.when(
@@ -97,8 +126,27 @@ def stopword_anchored_shingles(text: Column, width: int = 6) -> Column:
             F.array_join(F.slice(toks, i, width), " "),
         ),
     )
-    return F.array_distinct(
-        F.transform(F.filter(windows, lambda w: w.isNotNull()), lambda w: F.xxhash64(w, F.lit(0)))
+    return F.array_distinct(F.filter(windows, lambda w: w.isNotNull()))
+
+
+def subword_token_counts(text: Column, keyword: str) -> Column:
+    """Reference subword counter (getSubwordsFromWETRecords.scala:21-59):
+    lowercase each space-split token, strip punctuation, keep tokens that
+    START or END with the (lowercased) keyword — INCLUDING the bare keyword
+    itself — and return the token list (callers aggregate token→count maps).
+
+    Divergence from the cited code, on purpose: the reference's
+    remove_punctuation returns match group 1 — the *leading punctuation* —
+    which is a bug (the intent, per the surrounding code, is the token
+    without punctuation). We implement the intent: strip leading AND
+    trailing \\p{Punct}, then lowercase."""
+    kw = keyword.lower()
+    toks = F.split(text, " ")
+    cleaned = F.transform(
+        toks, lambda t: F.lower(F.regexp_replace(t, r"^\p{Punct}+|\p{Punct}+$", ""))
+    )
+    return F.filter(
+        cleaned, lambda t: t.startswith(kw) | t.endswith(kw)
     )
 
 

@@ -145,19 +145,77 @@ def advance_host_state(scheduled: DataFrame) -> DataFrame:
     )
 
 
-def mark_fetched(frontier: DataFrame, scheduled: DataFrame, round_no: int) -> DataFrame:
-    """Frontier state transition pending→fetched for scheduled URLs.
-    Sandbox implementation is a rewrite (anti-join + union); under Iceberg
-    this is a single MERGE INTO on url_hash."""
-    fetched = (
-        frontier.join(scheduled.select("url_hash"), "url_hash", "left_semi")
-        .withColumn("state", F.lit("fetched"))
-        .withColumn(
-            "log_message", F.concat(F.lit("fetched round "), F.lit(round_no))
-        )
+def fetch_outcome(scheduled: DataFrame, round_no: int, fail_permille: int = 0) -> DataFrame:
+    """Adds `fetch_failed boolean` — the sandbox's deterministic stand-in
+    for HTTP fetch errors (reference: typed failure handling + requeue in
+    ProcessWETPaths.scala:111-191). A URL fails iff an md5-derived permille
+    of (url, round) is below `fail_permille`; the round in the key means a
+    retry in a later round can succeed — exactly the transient-error model.
+    md5 (not xxhash64) so a DuckDB oracle can reproduce the predicate."""
+    fh = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.col("url"), F.lit(str(round_no)))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return scheduled.withColumn(
+        "fetch_failed", F.pmod(fh, F.lit(1000)) < F.lit(int(fail_permille))
     )
-    untouched = frontier.join(scheduled.select("url_hash"), "url_hash", "left_anti")
-    return untouched.unionByName(fetched)
+
+
+def apply_fetch_results(
+    frontier: DataFrame,
+    outcome: DataFrame,
+    round_no: int,
+    max_retries: int = 3,
+    backoff: float = 0.5,
+) -> DataFrame:
+    """Frontier state transitions from a round's fetch outcomes (reference:
+    ProcessWETPaths.scala:111-191 — failed paths requeue with a retry count,
+    capped). One broadcast-or-shuffle join on url_hash, no driver loop;
+    under Iceberg this is a single MERGE INTO.
+
+      success        → state=fetched, log
+      failure, n<cap → state=pending, retries+1, priority·backoff, log
+      failure, n≥cap → state=failed, log
+    """
+    o = outcome.select("url_hash", "fetch_failed")
+    j = frontier.join(o, "url_hash", "left")
+    ok = F.col("fetch_failed") == F.lit(False)
+    bad = F.col("fetch_failed") == F.lit(True)
+    r2 = F.when(bad, F.col("retries") + 1).otherwise(F.col("retries"))
+    state2 = (
+        F.when(ok, F.lit("fetched"))
+        .when(bad & (r2 <= max_retries), F.lit("pending"))
+        .when(bad, F.lit("failed"))
+        .otherwise(F.col("state"))
+    )
+    prio2 = F.when(bad, F.col("priority") * F.lit(backoff)).otherwise(F.col("priority"))
+    log2 = (
+        F.when(ok, F.concat(F.lit(f"fetched round {round_no}")))
+        .when(
+            bad & (r2 <= max_retries),
+            F.format_string(f"fetch failed round {round_no} (retry %d)", r2),
+        )
+        .when(bad, F.format_string(f"gave up round {round_no} after %d retries", r2))
+        .otherwise(F.col("log_message"))
+    )
+    return j.select(
+        "url",
+        "url_hash",
+        "host",
+        prio2.alias("priority"),
+        state2.alias("state"),
+        "round",
+        r2.cast("int").alias("retries"),
+        log2.alias("log_message"),
+    )
+
+
+def mark_fetched(frontier: DataFrame, scheduled: DataFrame, round_no: int) -> DataFrame:
+    """Frontier state transition pending→fetched for scheduled URLs — the
+    all-success special case of apply_fetch_results."""
+    outcome = scheduled.select("url_hash", F.lit(False).alias("fetch_failed"))
+    return apply_fetch_results(frontier, outcome, round_no)
 
 
 def crawl_order(scheduled: DataFrame) -> DataFrame:

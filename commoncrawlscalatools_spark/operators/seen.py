@@ -12,11 +12,24 @@ Bucketing is by `pmod(url_hash, n_buckets)` with a FIXED n_buckets —
 independent of executor count — so filter bytes are stable across
 parallelism levels and can be checkpointed/resumed as data.
 
-Scale shape (10^10 URLs): the seen table is hash-bucketed on url_hash; the
-anti-join is a shuffle on a 8-byte key over only the *candidate* set
-(bounded per round), while the Bloom pass (a broadcast of n_buckets
-serialized filters + an Arrow-vectorized probe) eliminates the ~90%+ of
-candidates that are definitely new without touching the big table.
+Scale shape (10^10 URLs):
+
+  * The filter bytes travel to executors via ONE `sc.broadcast` (torrent
+    broadcast on a real cluster), captured by the probe closure — never as
+    a join column, which would replicate the per-bucket byte blob into the
+    Arrow exchange once per candidate row (terabytes at design scale).
+  * The probe output is persisted by `filter_unseen` so the single
+    mapInPandas pass feeds both the definitely-new branch and the
+    exact-verify branch.
+  * Maintenance is INCREMENTAL: rounds build a small delta filter from the
+    round's new URLs only (`build_bloom(..., n_bits=fixed)`) and
+    `merge_bloom` ORs it into the stored per-bucket bytes. Fixed bucketing
+    + fixed per-bucket geometry guarantee mergeability; saturation only
+    raises the FP rate (never a false negative), and `n_items` is tracked
+    per bucket so an operator can trigger a full rebuild when
+    n_items * bits_per_item outgrows n_bits.
+  * The exact anti-join is a shuffle on an 8-byte key over only the
+    maybe-seen slice of the candidate set (bounded per round).
 """
 
 from __future__ import annotations
@@ -28,6 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
 
 BLOOM_STATE_SCHEMA = T.StructType(
     [
@@ -50,28 +64,41 @@ def _positions(hashes: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
     return ((h1[None, :] + i * h2[None, :]) % np.uint64(n_bits)).astype(np.int64)
 
 
+def default_n_hashes(bits_per_item: int = 10) -> int:
+    return max(1, int(round(bits_per_item * math.log(2))))
+
+
 def build_bloom(
     seen: DataFrame,
     hash_col: str = "url_hash",
     n_buckets: int = 64,
     bits_per_item: int = 10,
     min_bits: int = 1 << 12,
+    n_bits: int | None = None,
 ) -> DataFrame:
     """One Bloom filter per fixed hash bucket, built with applyInPandas
-    (per-group vectorized numpy; the group is the partition-state unit)."""
-    n_hashes = max(1, int(round(bits_per_item * math.log(2))))
+    (per-group vectorized numpy; the group is the partition-state unit).
+
+    With `n_bits` set every bucket gets that FIXED geometry — required for
+    incremental maintenance (`merge_bloom` ORs equal-length bit arrays).
+    Without it, each bucket auto-sizes to its item count (one-shot use)."""
+    n_hashes = default_n_hashes(bits_per_item)
+    fixed_bits = n_bits
 
     def make_filter(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf[hash_col].to_numpy()
         n_items = len(hashes)
-        n_bits = max(min_bits, 1 << int(math.ceil(math.log2(max(1, n_items * bits_per_item)))))
-        bits = np.zeros(n_bits // 8, dtype=np.uint8)
-        pos = _positions(hashes, n_bits, n_hashes).ravel()
+        if fixed_bits is not None:
+            nb = fixed_bits
+        else:
+            nb = max(min_bits, 1 << int(math.ceil(math.log2(max(1, n_items * bits_per_item)))))
+        bits = np.zeros(nb // 8, dtype=np.uint8)
+        pos = _positions(hashes, nb, n_hashes).ravel()
         np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
         return pd.DataFrame(
             {
                 "bucket": [int(key[0])],
-                "n_bits": [n_bits],
+                "n_bits": [nb],
                 "n_hashes": [n_hashes],
                 "n_items": [n_items],
                 "bits": [bits.tobytes()],
@@ -85,63 +112,119 @@ def build_bloom(
     return bucketed.groupBy("bucket").applyInPandas(make_filter, BLOOM_STATE_SCHEMA)
 
 
+def merge_bloom(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR two Bloom states with identical fixed geometry, per bucket.
+    Distributed (n_buckets tiny rows); O(filter bytes), independent of
+    |seen| — this is what makes per-round maintenance incremental."""
+
+    def merge(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["n_bits"].nunique() > 1 or pdf["n_hashes"].nunique() > 1:
+            raise ValueError(
+                f"bucket {key[0]}: mixed Bloom geometry "
+                f"(n_bits={sorted(pdf['n_bits'].unique())}); incremental "
+                "maintenance requires build_bloom(..., n_bits=<fixed>)"
+            )
+        out = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+        for blob in pdf["bits"].iloc[1:]:
+            out |= np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "bucket": [int(key[0])],
+                "n_bits": [int(pdf["n_bits"].iloc[0])],
+                "n_hashes": [int(pdf["n_hashes"].iloc[0])],
+                "n_items": [int(pdf["n_items"].sum())],
+                "bits": [out.tobytes()],
+            }
+        )
+
+    return a.unionByName(b).groupBy("bucket").applyInPandas(merge, BLOOM_STATE_SCHEMA)
+
+
+def collect_bloom(bloom_state: DataFrame) -> dict[int, tuple[int, int, bytes]]:
+    """Bloom state DataFrame → driver dict {bucket: (n_bits, n_hashes, bits)}.
+    The state is n_buckets rows; the blobs are the only payload."""
+    return {
+        int(r["bucket"]): (int(r["n_bits"]), int(r["n_hashes"]), bytes(r["bits"]))
+        for r in bloom_state.collect()
+    }
+
+
 def bloom_maybe_seen(
     candidates: DataFrame,
-    bloom_state: DataFrame,
+    bloom_state,
     hash_col: str = "url_hash",
     n_buckets: int = 64,
 ) -> DataFrame:
     """Adds `maybe_seen boolean`: False ⇒ definitely unseen (skip the exact
-    join); True ⇒ needs exact verification. Bloom state is broadcast; the
-    probe is one Arrow batch pass (numpy bit tests, no per-row Python)."""
-    with_bucket = candidates.withColumn(
-        "__bucket", F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int")
-    )
-    joined = with_bucket.join(
-        F.broadcast(bloom_state.withColumnRenamed("bucket", "__bucket")),
-        "__bucket",
-        "left",
-    )
+    join); True ⇒ needs exact verification.
+
+    `bloom_state` may be a Bloom state DataFrame, a dict from
+    `collect_bloom`, or an existing `Broadcast` of such a dict. The filter
+    bytes ship via ONE broadcast captured in the probe closure — the plan
+    carries no join and no `bits` column; the probe is a narrow Arrow pass
+    (numpy bit tests, no per-row Python)."""
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(bloom_state, DataFrame):
+        bc = candidates.sparkSession.sparkContext.broadcast(collect_bloom(bloom_state))
+    elif isinstance(bloom_state, Broadcast):
+        bc = bloom_state
+    else:
+        bc = candidates.sparkSession.sparkContext.broadcast(dict(bloom_state))
+
     out_schema = T.StructType(
         candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]
     )
-    cand_cols = [f.name for f in candidates.schema.fields]
 
     def probe(it):
+        state = bc.value
         for pdf in it:
-            res = pdf[cand_cols].copy()
+            res = pdf.copy()
             maybe = np.zeros(len(pdf), dtype=bool)
-            if len(pdf) and pdf["bits"].notna().any():
-                for (n_bits, n_hashes, bits_bytes), grp in pdf[pdf["bits"].notna()].groupby(
-                    ["n_bits", "n_hashes", "bits"], sort=False
-                ):
-                    bits = np.frombuffer(bits_bytes, dtype=np.uint8)
-                    hashes = grp[hash_col].to_numpy()
-                    pos = _positions(hashes, int(n_bits), int(n_hashes))
-                    hit = np.ones(len(grp), dtype=bool)
+            if len(pdf) and state:
+                hashes = pdf[hash_col].to_numpy(dtype=np.int64)
+                buckets = hashes % n_buckets  # numpy % matches Spark pmod sign
+                for b in np.unique(buckets):
+                    st = state.get(int(b))
+                    if st is None:
+                        continue  # empty bucket ⇒ nothing seen there
+                    nb, nh, blob = st
+                    bits = np.frombuffer(blob, dtype=np.uint8)
+                    idx = np.nonzero(buckets == b)[0]
+                    pos = _positions(hashes[idx], nb, nh)
+                    hit = np.ones(len(idx), dtype=bool)
                     for row in pos:
                         hit &= (bits[row >> 3] & (np.uint8(1) << (row & 7).astype(np.uint8))) != 0
-                    maybe[pdf.index.get_indexer(grp.index)] |= hit
+                    maybe[idx] = hit
             res["maybe_seen"] = maybe
             yield res
 
-    return joined.mapInPandas(probe, out_schema)
+    return candidates.mapInPandas(probe, out_schema)
 
 
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
     hash_col: str = "url_hash",
-    bloom_state: DataFrame | None = None,
+    bloom_state=None,
     n_buckets: int = 64,
 ) -> DataFrame:
     """Verified-unseen candidates. With a Bloom state the exact anti-join
     runs only over the maybe-seen slice; the final set is identical either
-    way (FP-independent)."""
+    way (FP-independent).
+
+    The flagged probe output is persisted so the mapInPandas pass executes
+    once for both branches; the handle is exposed as `result._bloom_flagged`
+    so a long-running caller (the crawl loop) can unpersist it after the
+    round commits."""
     if bloom_state is None:
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
-    flagged = bloom_maybe_seen(candidates, bloom_state, hash_col, n_buckets)
+    flagged = bloom_maybe_seen(candidates, bloom_state, hash_col, n_buckets).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = needs_check.join(seen.select(hash_col), hash_col, "left_anti")
-    return definitely_new.unionByName(verified_new)
+    out = definitely_new.unionByName(verified_new)
+    out._bloom_flagged = flagged
+    return out

@@ -9,19 +9,39 @@ snapshot tables:
     scheduled ──fetch+extract──▶ documents (spans) + outlinks
     outlinks ──canonicalize──▶ robots filter ──▶ Bloom+exact URL-seen ──▶
         new pending frontier rows
-    commit snapshots: frontier, seen, host_state, documents, metrics
+    commit snapshots: documents, lineage, seen, host_state, bloom, metrics,
+        and LAST the frontier — the round marker.
 
-Every round commits one snapshot per table (checkpoint); `CrawlEngine.run`
-resumes from the latest committed round after a kill (reference W2 work
-reclaim). Lineage: per-partition row counts from the fetch stage land in
-the metrics table (reference W5 triggers → data, not side-channel RPC).
+Atomicity (round-commit protocol): `latest_round` resumes from the
+frontier table, and the frontier snapshot is committed LAST, so a kill at
+any point inside round r leaves frontier at r-1 and the resume re-runs
+round r from scratch. Re-running is idempotent: every other table's v=r is
+rewritten (mode=overwrite) and re-published; `SnapshotStore.read` refuses
+any version absent from the published manifest, so a partially-written
+directory is never read. Reference W2 work reclaim.
+
+Per-round cost discipline (raw scaling efficiency):
+  * ONE pass over each expensive intermediate: `scheduled`,
+    the Bloom-probe output and `new_frontier_rows` are persisted;
+    row counts come from `Observation` metrics attached to the plans of
+    the commit writes — zero extra counting actions.
+  * The Bloom filter is INCREMENTAL state: round r builds a delta filter
+    from the round's new URLs only and ORs it into the stored per-bucket
+    bytes (`seen.merge_bloom`) — O(new URLs + filter bytes) per round,
+    never O(|seen|).
+  * The probe ships filter bytes via one sc.broadcast (torrent on a real
+    cluster), never as a join column.
+  * Synthetic fetch failures (deterministic, md5-keyed on url+round) drive
+    the reference's typed retry path: failed URLs requeue with retries+1
+    and backoff priority until max_retries, then park as `failed`
+    (ProcessWETPaths.scala:111-191).
 
 Scale notes: within a round the only wide operations are (1) the host
-window in scheduling, (2) the seen anti-join on url_hash, (3) the
-dedup groupBy of new candidates. All are keyed on high-cardinality
-hash-distributed keys; per-host skew is bounded by per_host_cap before
-anything global. Fixed per-round overhead (snapshot commit) is amortized
-by round size — see bench/scaling.py.
+window in scheduling, (2) the seen anti-join on url_hash over the
+maybe-seen slice, (3) the dedup groupBy of new candidates. All are keyed
+on high-cardinality hash-distributed keys; per-host skew is bounded by
+per_host_cap before anything global. Fixed per-round overhead (snapshot
+commit) is amortized by round size — see bench/scaling.py.
 """
 
 from __future__ import annotations
@@ -29,7 +49,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from commoncrawlscalatools_spark.operators import frontier as FR
@@ -45,6 +65,7 @@ class CrawlConfig:
     budget: int | None = None
     n_hosts: int = 1000
     bloom_buckets: int = 64
+    bloom_bits: int = 1 << 19  # fixed per-bucket geometry ⇒ mergeable deltas
     use_bloom: bool = True
     shuffle_partitions: int | None = None
     doc_coalesce: int | None = None  # coalesce docs before write (small rounds)
@@ -53,6 +74,10 @@ class CrawlConfig:
     # a round's docs/s drops below the floor; state is committed, so a
     # resume retries from the completed round.
     min_docs_per_s: float | None = None
+    # typed retry path (ProcessWETPaths.scala:111-191): deterministic
+    # synthetic failure rate in permille; 0 disables.
+    fail_permille: int = 0
+    max_retries: int = 3
 
 
 class CrawlEngine:
@@ -65,14 +90,22 @@ class CrawlEngine:
 
     def bootstrap(self, seeds: DataFrame, robots: DataFrame) -> None:
         """Round 0 state: canonicalized deduped seeds as pending frontier."""
+        cfg = self.config
         cand = FR.canonicalize_seeds(seeds)
         frontier0 = FR.as_frontier_rows(cand, round_no=0)
-        self.store.write("frontier", frontier0, 0)
-        self.store.write(
-            "seen",
-            frontier0.select("url_hash", F.lit(0).cast("int").alias("round_added")),
-            0,
-        )
+        seen0 = frontier0.select("url_hash", F.lit(0).cast("int").alias("round_added"))
+        self.store.write("seen", seen0, 0)
+        if cfg.use_bloom:
+            self.store.write(
+                "bloom",
+                SN.build_bloom(
+                    self.store.read("seen", 0),
+                    n_buckets=cfg.bloom_buckets,
+                    n_bits=cfg.bloom_bits,
+                ),
+                0,
+                coalesce=4,
+            )
         self.store.write(
             "host_state",
             frontier0.select("host").distinct().withColumn(
@@ -82,6 +115,8 @@ class CrawlEngine:
             coalesce=4,
         )
         self.store.write("robots", robots, 0, coalesce=4)
+        # frontier last: the round-0 marker
+        self.store.write("frontier", frontier0, 0)
 
     def latest_round(self) -> int:
         v = self.store.latest_version("frontier")
@@ -106,17 +141,35 @@ class CrawlEngine:
             budget=cfg.budget,
             shuffle_partitions=cfg.shuffle_partitions,
         )
-        docs = FE.fetch_and_extract(scheduled, n_hosts=cfg.n_hosts)
-        self.store.write("documents", docs, round_no, coalesce=cfg.doc_coalesce)
-        docs = self.store.read("documents", round_no)  # re-read: one fetch pass
+        # `outcome` (= scheduled + fetch_failed) is the ONLY materialization
+        # of the scheduling window: persisted, it feeds the fetch path, the
+        # frontier transition and the host-state advance.
+        outcome = FR.fetch_outcome(scheduled, round_no, cfg.fail_permille).persist()
 
-        n_docs = docs.count()
-        n_spans, n_links = 0, 0
-        if n_docs:
-            agg = docs.agg(
-                F.sum(F.size("spans")).alias("s"), F.sum(F.size("outlinks")).alias("l")
-            ).collect()[0]
-            n_spans, n_links = int(agg["s"] or 0), int(agg["l"] or 0)
+        # fetch+extract → documents commit; round counters ride the write
+        # as Observation metrics (no separate counting actions)
+        obs_docs = Observation(f"docs_r{round_no}")
+        obs_sched = Observation(f"sched_r{round_no}")
+        ok = outcome.observe(
+            obs_sched,
+            F.count(F.lit(1)).alias("n_scheduled"),
+            F.sum(F.col("fetch_failed").cast("long")).alias("n_failed_fetches"),
+        ).filter(~F.col("fetch_failed"))
+        docs = FE.fetch_and_extract(ok, n_hosts=cfg.n_hosts).observe(
+            obs_docs,
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("spans")).alias("n_spans"),
+            F.sum(F.size("outlinks")).alias("n_links"),
+        )
+        self.store.write("documents", docs, round_no, coalesce=cfg.doc_coalesce)
+        dvals = obs_docs.get
+        n_docs = int(dvals["n_docs"] or 0)
+        n_spans = int(dvals["n_spans"] or 0)
+        n_links = int(dvals["n_links"] or 0)
+        svals = obs_sched.get
+        n_scheduled = int(svals["n_scheduled"] or 0)
+        n_failed_fetches = int(svals["n_failed_fetches"] or 0)
+        docs = self.store.read("documents", round_no)  # re-read: one fetch pass
 
         # per-partition lineage (reference W5 triggers → rows, not RPC)
         lineage = (
@@ -124,34 +177,47 @@ class CrawlEngine:
             .agg(F.count("*").alias("docs"), F.sum(F.size("outlinks")).alias("outlinks"))
             .withColumn("round", F.lit(round_no))
         )
+        self.store.write("lineage", lineage, round_no, coalesce=1)
 
         # outlink feedback: canonicalize → robots → unseen → new frontier rows
         outlinks = docs.select(F.explode("outlinks").alias("url"))
-        cand = FR.canonicalize_seeds(
-            outlinks.withColumn("priority", F.lit(0.5))
-        )
+        cand = FR.canonicalize_seeds(outlinks.withColumn("priority", F.lit(0.5)))
         cand = RB.apply_robots(cand, robots)
-        bloom = (
-            SN.build_bloom(seen, n_buckets=cfg.bloom_buckets) if cfg.use_bloom else None
-        )
+        bloom_bc = None
+        bloom_prev = None
+        if cfg.use_bloom:
+            bloom_prev = self.store.read("bloom", round_no - 1)
+            bloom_bc = self.spark.sparkContext.broadcast(SN.collect_bloom(bloom_prev))
         new_urls = SN.filter_unseen(
-            cand, seen, bloom_state=bloom, n_buckets=cfg.bloom_buckets
+            cand, seen, bloom_state=bloom_bc, n_buckets=cfg.bloom_buckets
         )
-        new_frontier_rows = FR.as_frontier_rows(new_urls, round_no)
+        flagged_cache = getattr(new_urls, "_bloom_flagged", None)
+        new_frontier_rows = FR.as_frontier_rows(new_urls, round_no).persist()
 
-        # state transitions + snapshot commits
-        frontier_next = FR.mark_fetched(frontier, scheduled, round_no).unionByName(
-            new_frontier_rows
-        )
-        self.store.write("frontier", frontier_next, round_no)
+        # seen commit carries the new-URL count as an Observation
+        obs_new = Observation(f"new_r{round_no}")
         seen_next = seen.unionByName(
-            new_frontier_rows.select(
+            new_frontier_rows.observe(obs_new, F.count(F.lit(1)).alias("n_new")).select(
                 "url_hash", F.lit(round_no).cast("int").alias("round_added")
             )
         )
         self.store.write("seen", seen_next, round_no)
+        n_new = int(obs_new.get["n_new"] or 0)
+
+        # incremental Bloom: delta over THIS round's new URLs only, OR-merged
+        # into the stored bytes — per-round cost independent of |seen|
+        if cfg.use_bloom:
+            delta = SN.build_bloom(
+                new_frontier_rows.select("url_hash"),
+                n_buckets=cfg.bloom_buckets,
+                n_bits=cfg.bloom_bits,
+            )
+            self.store.write(
+                "bloom", SN.merge_bloom(bloom_prev, delta), round_no, coalesce=4
+            )
+
         # host_state upsert: scheduled hosts advance, others keep prev value
-        adv = FR.advance_host_state(scheduled)
+        adv = FR.advance_host_state(outcome)
         host_state_next = (
             host_state.withColumnRenamed("host_ready_ms", "prev_ready")
             .join(adv, "host", "full_outer")
@@ -163,14 +229,29 @@ class CrawlEngine:
             )
         )
         self.store.write("host_state", host_state_next, round_no, coalesce=4)
-        self.store.write("lineage", lineage, round_no, coalesce=1)
 
-        n_scheduled = scheduled.count()
-        n_new = new_frontier_rows.count()
+        # frontier transition: fetched / retry / failed, plus the new URLs
+        obs_front = Observation(f"front_r{round_no}")
+        frontier_next = (
+            FR.apply_fetch_results(
+                frontier, outcome, round_no, max_retries=cfg.max_retries
+            )
+            .unionByName(new_frontier_rows)
+            .observe(
+                obs_front,
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((F.col("state") == "failed").cast("long")).alias("n_failed"),
+                F.sum(
+                    ((F.col("state") == "pending") & (F.col("retries") > 0)).cast("long")
+                ).alias("n_retrying"),
+            )
+        )
+
         wall = time.time() - t0
         metrics = {
             "round": round_no,
             "scheduled": n_scheduled,
+            "failed_fetches": n_failed_fetches,
             "fetched_docs": n_docs,
             "spans": n_spans,
             "outlinks": n_links,
@@ -188,6 +269,22 @@ class CrawlEngine:
             round_no,
             coalesce=1,
         )
+
+        # frontier LAST: publishing it is the round's commit point. Its
+        # observation values land in the returned dict only (the metrics
+        # table is committed just above, before the marker).
+        self.store.write("frontier", frontier_next, round_no)
+        fvals = obs_front.get
+        metrics["frontier_rows"] = int(fvals["n_rows"] or 0)
+        metrics["failed_urls"] = int(fvals["n_failed"] or 0)
+        metrics["retrying_urls"] = int(fvals["n_retrying"] or 0)
+
+        outcome.unpersist()
+        new_frontier_rows.unpersist()
+        if flagged_cache is not None:
+            flagged_cache.unpersist()
+        if bloom_bc is not None:
+            bloom_bc.unpersist()
         return metrics
 
     # -- loop with resume --------------------------------------------------

@@ -62,9 +62,21 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path(table))
 
     def read(self, table: str, version: int | None = None) -> DataFrame:
-        v = self.latest_version(table) if version is None else version
-        if v is None:
-            raise FileNotFoundError(f"no committed snapshot for table {table}")
+        """Read a PUBLISHED snapshot. An explicit version must appear in the
+        manifest — a directory written but never published (kill mid-round)
+        is invisible, preserving all-or-nothing round semantics."""
+        published = self.versions(table)
+        if version is None:
+            if not published:
+                raise FileNotFoundError(f"no committed snapshot for table {table}")
+            v = published[-1]
+        else:
+            if version not in published:
+                raise FileNotFoundError(
+                    f"table {table} v={version} is not a published snapshot "
+                    f"(published: {published})"
+                )
+            v = version
         return self.spark.read.parquet(os.path.join(self.root, table, f"v={v}"))
 
     def exists(self, table: str) -> bool:

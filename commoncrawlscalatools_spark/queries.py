@@ -329,27 +329,48 @@ def relevance_topk(spark, sf_dir):
     return RV.search_topk(d, ["join", "merge"], "text", "doc_id", k=50)
 
 
-@q(
-    "subword_counts",
-    """
-    SELECT token, count(*) AS n FROM (
-      SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS token
+_SUBWORD_KEYWORDS = ["scan", "er"]
+
+_SUBWORD_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{kw}' AS keyword, token, count(*) AS n FROM (
+      SELECT lower(regexp_replace(unnest(string_split(text, ' ')),
+                    '^[[:punct:]]+|[[:punct:]]+$', '', 'g')) AS token
       FROM documents)
-    WHERE (starts_with(token, 'scan') OR ends_with(token, 'scan')) AND token <> 'scan'
+    WHERE starts_with(token, '{kw}') OR ends_with(token, '{kw}')
     GROUP BY token
-    """,
+    """
+    for kw in _SUBWORD_KEYWORDS
 )
+
+
+@q("subword_counts", _SUBWORD_ORACLE)
 def subword_counts(spark, sf_dir):
+    """Reference subword counter, faithful semantics
+    (getSubwordsFromWETRecords.scala:21-59): space-split tokens,
+    punctuation-stripped and lowercased, matched on keyword prefix OR
+    suffix INCLUDING the bare keyword; the reference's per-keyword
+    token→count map is the (keyword, token, n) row set. (The reference's
+    remove_punctuation returns the leading-punct match group — a bug; we
+    implement the evident intent, see functions/text.py.)"""
     d = t(spark, sf_dir, "documents")
-    tok = d.select(F.explode(TX.ws_tokens(F.col("text"))).alias("token"))
-    return (
-        tok.filter(
-            (F.col("token").startswith("scan") | F.col("token").endswith("scan"))
-            & (F.col("token") != "scan")
-        )
+    cleaned = F.lower(
+        F.regexp_replace(F.col("raw"), r"^\p{Punct}+|\p{Punct}+$", "")
+    )
+    tok = d.select(F.explode(F.split("text", " ")).alias("raw")).select(
+        cleaned.alias("token")
+    )
+    parts = [
+        tok.filter(F.col("token").startswith(kw) | F.col("token").endswith(kw))
         .groupBy("token")
         .agg(F.count("*").alias("n"))
-    )
+        .select(F.lit(kw).alias("keyword"), "token", "n")
+        for kw in _SUBWORD_KEYWORDS
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 @q(
@@ -963,7 +984,7 @@ def media_metadata_stats(spark, sf_dir):
 # J1 content join, frontier reclaim, filename derivation, rows-only ops
 # ---------------------------------------------------------------------------
 
-_SW_LIST = "[" + ",".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+_SW_LIST = "[" + ",".join(f"'{w}'" for w in TX.SHINGLE_STOPWORDS) + "]"
 
 
 def _minhash_survivors_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
@@ -997,7 +1018,7 @@ def minhash_dedup_survivors(spark, sf_dir):
       SELECT doc_id,
              list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
       FROM documents),
-    pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM tk),
+    pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 4, 2)) AS i FROM tk),
     sh AS (
       SELECT doc_id, count(DISTINCT array_to_string(toks[i:i+5], ' ')) AS n
       FROM pos WHERE list_contains({_SW_LIST}, lower(toks[i]))
@@ -1007,8 +1028,11 @@ def minhash_dedup_survivors(spark, sf_dir):
     """,
 )
 def stopword_shingle_counts(spark, sf_dir):
-    """Reference shingler F4 (createCorpus.scala:111-152): window count is
-    hash-independent, so the oracle checks the anchored-window semantics."""
+    """Reference shingler F4 with faithful semantics (createCorpus.scala:
+    111-152: 24-word stopword list, 2-token step, full windows only):
+    window count is hash-independent, so the oracle checks the
+    anchored-window semantics — anchors at 0-based even positions
+    (1-based odd i via range step 2), i ≤ len-5 (full window)."""
     d = t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",

@@ -107,3 +107,107 @@ def test_crawl_rounds_and_resume(spark, store_root):
     # lineage recorded per round
     lineage = eng2.store.read("lineage", 3)
     assert lineage.count() > 0
+
+
+def test_incremental_bloom_tracks_seen_exactly(spark, store_root):
+    """The per-round Bloom delta is built from the round's NEW urls only and
+    OR-merged into stored bytes: n_items across buckets must equal |seen|
+    after every round (i.e. delta input rows == that round's new URLs), and
+    the merged filter must have zero false negatives over the seen set."""
+    from commoncrawlscalatools_spark.operators.seen import bloom_maybe_seen, collect_bloom
+
+    seeds = generate_seeds(spark, 250, seed=7, n_hosts=15)
+    robots = generate_robots(spark, 15, seed=7)
+    cfg = CrawlConfig(per_host_cap=5, n_hosts=15, use_bloom=True, bloom_buckets=8,
+                      bloom_bits=1 << 15, doc_coalesce=2)
+    eng = CrawlEngine(spark, store_root, cfg)
+    eng.bootstrap(seeds, robots)
+    metrics = eng.run(3)
+    prev_items = None
+    for r in range(0, 4):
+        bloom = eng.store.read("bloom", r)
+        n_items = sum(row["n_items"] for row in bloom.select("n_items").collect())
+        n_seen = eng.store.read("seen", r).count()
+        assert n_items == n_seen, f"round {r}: bloom item count != |seen|"
+        if r >= 1:
+            assert n_items - prev_items == metrics[r - 1]["new_urls"]
+        prev_items = n_items
+    # zero false negatives: every seen url_hash must probe maybe_seen=true
+    seen = eng.store.read("seen", 3)
+    state = collect_bloom(eng.store.read("bloom", 3))
+    flagged = bloom_maybe_seen(seen, state, n_buckets=8)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_store_read_rejects_unpublished_version(spark, tmp_path):
+    """A parquet directory written but never published in the manifest must
+    be invisible (all-or-nothing round semantics after a mid-round kill)."""
+    from commoncrawlscalatools_spark.plans.state import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "st"))
+    df = spark.range(5).withColumnRenamed("id", "x")
+    store.write("tbl", df, 0)
+    # simulate a kill between parquet write and manifest publish
+    df.write.mode("overwrite").parquet(str(tmp_path / "st" / "tbl" / "v=1"))
+    assert store.latest_version("tbl") == 0
+    with pytest.raises(FileNotFoundError):
+        store.read("tbl", 1)
+
+
+def test_kill_between_commits_rerolls_round_identically(spark, store_root):
+    """Kill after the seen commit but BEFORE the frontier marker: the round
+    must re-run from scratch and converge to the same state as an
+    uninterrupted run (frontier-last commit protocol)."""
+    seeds = generate_seeds(spark, 200, seed=13, n_hosts=12)
+    robots = generate_robots(spark, 12, seed=13)
+    cfg = CrawlConfig(per_host_cap=4, n_hosts=12, use_bloom=True, bloom_buckets=8,
+                      doc_coalesce=2)
+    eng = CrawlEngine(spark, store_root, cfg)
+    eng.bootstrap(seeds, robots)
+    eng.run(1)
+
+    # simulate the partial round 2: every table except frontier commits
+    frontier = eng.store.read("frontier", 1)
+    eng.store.write("seen", eng.store.read("seen", 1), 2)
+    eng.store.write("documents", eng.store.read("documents", 1).limit(3), 2)
+    assert eng.latest_round() == 1  # marker still at 1 → round 2 reclaims
+
+    m = eng.run(2)
+    assert [x["round"] for x in m] == [2]
+    # the re-run overwrote the partial commits: seen v2 == frontier v2 hashes
+    seen = {r[0] for r in eng.store.read("seen", 2).select("url_hash").collect()}
+    fr = {r[0] for r in eng.store.read("frontier", 2).select("url_hash").collect()}
+    assert seen == fr
+
+
+def test_retry_backoff_and_give_up(spark, store_root):
+    """Deterministic synthetic fetch failures requeue with retries+1 and
+    backoff priority, then park as `failed` past max_retries
+    (reference ProcessWETPaths typed retry path)."""
+    seeds = generate_seeds(spark, 300, seed=5, n_hosts=10)
+    robots = generate_robots(spark, 10, seed=5)
+    cfg = CrawlConfig(per_host_cap=30, n_hosts=10, use_bloom=False,
+                      fail_permille=400, max_retries=1, doc_coalesce=2)
+    eng = CrawlEngine(spark, store_root, cfg)
+    eng.bootstrap(seeds, robots)
+    metrics = eng.run(4)
+    assert any(m["failed_fetches"] > 0 for m in metrics)
+    frontier = eng.store.read("frontier", eng.latest_round())
+    rows = frontier.collect()
+    states = {r["state"] for r in rows}
+    assert "fetched" in states
+    retried = [r for r in rows if r["retries"] > 0]
+    assert retried, "some URL must have failed and been requeued"
+    for r in retried:
+        if r["state"] == "failed":
+            # gave up exactly one step past the cap, with the typed log
+            assert r["retries"] == cfg.max_retries + 1
+            assert "gave up" in r["log_message"]
+        elif r["state"] == "pending":
+            assert r["retries"] <= cfg.max_retries
+            assert "fetch failed" in r["log_message"]
+    # fetched rows never exceed the retry cap
+    for r in rows:
+        if r["state"] == "fetched":
+            assert r["retries"] <= cfg.max_retries + 1
+            assert r["log_message"].startswith("fetched round")
