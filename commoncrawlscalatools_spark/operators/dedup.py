@@ -213,11 +213,19 @@ def jaccard_pairs(
     shingle_col: str = "shingles",
     id_col: str = "doc_id",
     threshold: float = 0.0,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle.
     Standard explode→join-on-shingle→count plan: the join key is the
     shingle so only overlapping docs ever meet; sizes come from a narrow
-    pre-aggregation, not a second scan."""
+    pre-aggregation, not a second scan.
+
+    `max_df` drops shingles whose document frequency exceeds the cap BEFORE
+    the self-join (standard df-cap; mirrors minhash_candidates'
+    `max_bucket`). Without it a single boilerplate shingle shared by d docs
+    fans out O(d²) pairs on one join key — the quadratic hot-key pathology.
+    Denominators stay full-set, so capped pairs get a (slightly)
+    underestimated Jaccard rather than a blown-up join."""
     # persist the shingle projection: it feeds sizes + both join sides, and
     # upstream shingling is the expensive part (would be recomputed 3×)
     base = _spread(df.select(
@@ -225,6 +233,9 @@ def jaccard_pairs(
     ), id_col).persist()
     sizes = base.select(F.col(id_col), F.size("__sh").alias("sz"))
     ex = base.select(F.col(id_col), F.explode("__sh").alias("sh"))
+    if max_df is not None:
+        dfreq = ex.groupBy("sh").count()
+        ex = ex.join(dfreq.filter(F.col("count") <= max_df), "sh", "left_semi")
     a = ex.alias("a")
     b = ex.alias("b")
     inter = (
@@ -267,6 +278,7 @@ def minhash_dedup(
     threshold: float = 0.5,
     num_perm: int = NUM_PERM,
     bands: int = 16,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → LSH candidates → exact-Jaccard
     verify ≥ threshold → drop dominated docs.
@@ -278,7 +290,9 @@ def minhash_dedup(
     on clique-shaped duplicate sets, computed without driver collects.
     """
     sh = with_shingles(df, text_col, id_col, ngram)
-    cands = minhash_candidates(sh, "shingles", id_col, num_perm, bands)
+    cands = minhash_candidates(
+        sh, "shingles", id_col, num_perm, bands, max_bucket=max_bucket
+    )
     verified = jaccard_for_pairs(cands, sh, id_col, threshold)
     # symmetric (loser, winner-candidate) edges
     e1 = verified.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
@@ -337,19 +351,30 @@ def simhash_near_pairs(
     self-join key is (segment_id, segment_value), never all-pairs."""
     seg_bits = bits // bands
     mask = (1 << seg_bits) - 1
-    # materialize token hashes behind a persist barrier: the 32 bit-vote
-    # filters each reference the hash array — inline, the md5-per-token
-    # transform would re-run 32× per row
+    # Bit votes as ONE explode + hash-aggregate with `bits` codegen'd
+    # sum((h>>j)&1) expressions — whole-stage codegen, map-side partials,
+    # one shuffle on the high-cardinality doc id. (The round-1 shape — 32
+    # higher-order `filter` passes per row — was interpreted, re-evaluating
+    # the token-hash array per pass; measured 3.2 s → this plan on sf0.1.)
     hx = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
         F.col(id_col),
-        F.transform(F.array_distinct(ws_tokens(F.col(text_col))), md5_hash32).alias("__hx"),
-    ).persist()
-    hcol, n = F.col("__hx"), F.size("__hx")
+        F.explode_outer(
+            F.transform(F.array_distinct(ws_tokens(F.col(text_col))), md5_hash32)
+        ).alias("__h"),
+    )
+    votes = hx.groupBy(id_col).agg(
+        F.count("__h").alias("__n"),  # counts non-null ⇒ empty docs vote 0
+        *[
+            F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1))).alias(f"__c{j}")
+            for j in range(bits)
+        ],
+    )
     sim = F.lit(0).cast("long")
     for j in range(bits):
-        cnt = F.size(F.filter(hcol, lambda v: v.bitwiseAND(F.lit(1 << j)) != 0))
-        sim = sim + F.when(cnt * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
-    h = hx.select(F.col(id_col), sim.alias("simhash"))
+        sim = sim + F.when(
+            F.coalesce(F.col(f"__c{j}"), F.lit(0)) * 2 > F.col("__n"), F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    h = votes.select(F.col(id_col), sim.alias("simhash"))
     segs = []
     for s in range(bands):
         segs.append(

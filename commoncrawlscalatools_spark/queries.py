@@ -555,31 +555,39 @@ _SHINGLES_SQL = (
 )
 
 
-def _jaccard_oracle(threshold: float) -> str:
+def _jaccard_oracle(threshold: float, max_df: int) -> str:
+    """Mirrors jaccard_pairs exactly, INCLUDING the document-frequency cap:
+    shingles with df > max_df never enter the pair join (numerator), while
+    denominators stay full-set — so green means parity at any scale, not
+    just on data where no shingle is hot."""
     return f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES_SQL} AS shingles
       FROM (SELECT doc_id,
                    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
             FROM documents)
-    ), nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0)
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-                 (len(a.shingles) + len(b.shingles)
-                  - len(list_intersect(a.shingles, b.shingles))), 6) AS jaccard
-    FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.shingles, b.shingles)) > 0
-      AND len(list_intersect(a.shingles, b.shingles)) * 1.0 /
-          (len(a.shingles) + len(b.shingles)
-           - len(list_intersect(a.shingles, b.shingles))) >= {threshold}
+    ), nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM nonempty),
+    kept AS (
+      SELECT doc_id, s FROM ex
+      WHERE s IN (SELECT s FROM ex GROUP BY s HAVING count(*) <= {max_df})),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    sz AS (SELECT doc_id, len(shingles) AS sz FROM nonempty)
+    SELECT id_a, id_b,
+           round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {threshold}
     """
 
 
-@q("ngram_jaccard_pairs", _jaccard_oracle(0.2))
+@q("ngram_jaccard_pairs", _jaccard_oracle(0.2, 1000))
 def ngram_jaccard_pairs(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     sh = DD.with_shingles(d, "text", "doc_id", 3)
-    return DD.jaccard_pairs(sh, "shingles", "doc_id", threshold=0.2)
+    return DD.jaccard_pairs(sh, "shingles", "doc_id", threshold=0.2, max_df=1000)
 
 
 def _minhash_sig_sql(num_perm: int) -> str:
@@ -1006,8 +1014,11 @@ def _minhash_survivors_oracle(num_perm: int = 64, bands: int = 16, threshold: fl
 @q("minhash_dedup_survivors", _minhash_survivors_oracle())
 def minhash_dedup_survivors(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
+    # max_bucket huge here because the oracle is uncapped — explicit so
+    # Spark/oracle parity holds at any data scale (production default: 1000)
     return DD.minhash_dedup(
-        d, "text", "doc_id", relevance_col="n_chars", ngram=3, threshold=0.5
+        d, "text", "doc_id", relevance_col="n_chars", ngram=3, threshold=0.5,
+        max_bucket=1_000_000,
     ).select("doc_id")
 
 

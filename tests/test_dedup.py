@@ -98,3 +98,25 @@ def test_simhash_identical_distance_zero(spark):
     }
     assert pairs.get((1, 2)) == 0  # identical text → identical simhash
     assert (1, 4) not in pairs  # unrelated docs don't appear
+
+
+def test_jaccard_pairs_df_cap_bounds_fanout(spark):
+    """A boilerplate shingle shared by every doc must NOT join all pairs:
+    with max_df below the corpus size the hot shingle is dropped from the
+    pair join (numerator only — denominators stay full-set)."""
+    from commoncrawlscalatools_spark.operators.dedup import jaccard_pairs
+
+    n = 30
+    # every doc carries boilerplate shingle 0; docs 2k/2k+1 share a private
+    # shingle (100+k); nothing else overlaps
+    rows = [(i, [0, 100 + i // 2, 1000 + i]) for i in range(n)]
+    sh = spark.createDataFrame(rows, ["doc_id", "shingles"])
+
+    uncapped = jaccard_pairs(sh, "shingles", "doc_id", max_df=None)
+    assert uncapped.count() == n * (n - 1) // 2  # hot key → quadratic pairs
+
+    capped = jaccard_pairs(sh, "shingles", "doc_id", max_df=5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert set(got) == {(2 * k, 2 * k + 1) for k in range(n // 2)}
+    # 1 shared (private) shingle over full union 3+3-1=5
+    assert all(abs(v - 0.2) < 1e-9 for v in got.values())
