@@ -111,8 +111,10 @@ def knn_join(
     right_id: str,
     k: int = 5,
 ) -> DataFrame:
-    """k nearest right-rows per left-row (brute force, broadcast left if
-    small). Window top-k keeps it fully distributed."""
+    """EXACT k nearest right-rows per left-row: brute force, O(|L|·|R|).
+    This is the small-|L| baseline (a handful of query vectors broadcast
+    against the corpus) and the recall oracle for knn_join_lsh — it is NOT
+    the corpus-vs-corpus primitive; use knn_join_lsh for that."""
     from pyspark.sql import Window as W
 
     j = F.broadcast(left.select(left_id, left_vec)).crossJoin(
@@ -125,3 +127,109 @@ def knn_join(
     )
     w = W.partitionBy(left_id).orderBy(F.desc("cos_sim"), F.col(right_id))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def probe_masks(n_planes: int, probe_bits: int) -> list[int]:
+    """Multi-probe XOR masks: the zero mask plus every mask with popcount ≤
+    probe_bits — probing all buckets within Hamming distance `probe_bits`
+    of the query's own bucket (the standard multi-probe LSH recall fix)."""
+    masks = [0]
+    if probe_bits >= 1:
+        masks += [1 << j for j in range(n_planes)]
+    if probe_bits >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    if probe_bits >= 3:
+        raise ValueError("probe_bits > 2 not supported (probe count explodes)")
+    return masks
+
+
+def knn_join_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    left_vec: str,
+    right_vec: str,
+    left_id: str,
+    right_id: str,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 4,
+    probe_bits: int = 1,
+    n_tables: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """Approximate kNN join at corpus-vs-corpus scale: LSH-bucket BOTH
+    sides with the same deterministic hyperplanes, replicate each query row
+    across its multi-probe buckets, join on the bucket key, exact-cosine
+    re-rank, window top-k per query.
+
+    Cost shape: |R| rows hashed once; |L|·(1 + n_planes + C(n_planes,2)·
+    [probe_bits≥2]) replicated rows; ONE shuffle join on the bucket key —
+    never a cross join. Each right row occupies exactly one bucket and
+    probe masks are distinct, so a (left,right) pair meets at most once
+    (no dedup needed before ranking).
+
+    Sizing at scale: 2^n_planes buckets must exceed the cluster's task
+    parallelism (e.g. 16 planes → 65k buckets for a 1000-executor job);
+    residual bucket skew is AQE skew-join territory. Recall is tunable on
+    two independent axes — probe_bits (Hamming-≤b probing removes the
+    single-probe cliff) and n_tables (L independent plane sets, the
+    classic 1-(1-r)^L amplification; costs an L× replication of the
+    corpus side of the join). See test_similarity.py for the measured
+    recall floor."""
+    from pyspark.sql import Window as W
+
+    def bucket_col(vec: Column, table: int) -> Column:
+        planes = [hyperplane(seed + 1000 * table, j, dim) for j in range(n_planes)]
+        # join key packs the table id above the bucket bits so tables
+        # never collide: key = (table << n_planes) | bucket
+        return lsh_bucket_expr(vec, planes) + F.lit(table << n_planes)
+
+    rb = (
+        right.select(
+            right_id, right_vec,
+            F.array(
+                *[bucket_col(F.col(right_vec), t) for t in range(n_tables)]
+            ).alias("__bs"),
+        )
+        .select(right_id, right_vec, F.explode("__bs").alias("__bucket"))
+    )
+    masks = probe_masks(n_planes, probe_bits)
+    # compute query buckets BEFORE the probe explode: the generator
+    # replicates rows over the literal mask array, so the plane dot
+    # products run once per (query row, table), not once per probe
+    lb = (
+        left.select(
+            left_id, left_vec,
+            F.array(
+                *[bucket_col(F.col(left_vec), t) for t in range(n_tables)]
+            ).alias("__b0s"),
+        )
+        .select(left_id, left_vec, F.explode("__b0s").alias("__b0"))
+        .select(left_id, left_vec, "__b0", F.explode(F.lit(masks)).alias("__m"))
+        .select(
+            left_id, left_vec,
+            # XOR only touches the low n_planes bits; the table tag survives
+            F.col("__b0").bitwiseXOR(F.col("__m")).alias("__bucket"),
+        )
+    )
+    j = lb.join(rb.select(right_id, right_vec, "__bucket"), "__bucket")
+    # with n_tables > 1 a pair can meet in several tables — dedupe before
+    # ranking (scores are deterministic, any surviving row is identical)
+    pairs = j.select(left_id, left_vec, right_id, right_vec).dropDuplicates(
+        [left_id, right_id]
+    )
+    scored = pairs.select(
+        F.col(left_id),
+        F.col(right_id),
+        F.round(
+            cosine(_as_double(F.col(left_vec)), _as_double(F.col(right_vec))), 6
+        ).alias("cos_sim"),
+    )
+    w = W.partitionBy(left_id).orderBy(F.desc("cos_sim"), F.col(right_id))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

@@ -758,6 +758,62 @@ def knn_join_labels(spark, sf_dir):
     return SM.knn_join(qs, e, "qv", "embedding", "q_id", "vec_id", k=5)
 
 
+def _knn_lsh_oracle(k: int = 5, n_planes: int = 4, probe_bits: int = 1,
+                    seed: int = 7, dim: int = 64) -> str:
+    """LSH-aware oracle for knn_join_lsh: the deterministic hyperplanes are
+    inlined as SQL literals, so DuckDB reproduces the bucketing, the
+    multi-probe replication AND the re-rank exactly — green means parity of
+    the approximate operator itself at any scale (recall vs brute force is
+    asserted separately in test_similarity.py)."""
+    planes = [SM.hyperplane(seed, j, dim) for j in range(n_planes)]
+
+    def bucket_sql(ev: str) -> str:
+        terms = []
+        for j, plane in enumerate(planes):
+            lit = "[" + ",".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({ev}, {lit}) >= 0 THEN {1 << j} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    masks = SM.probe_masks(n_planes, probe_bits)
+    masks_sql = "[" + ",".join(str(m) for m in masks) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+               FROM embeddings),
+    rb AS (SELECT vec_id, ev, {bucket_sql('ev')} AS bucket FROM e),
+    qs AS (SELECT vec_id AS q_id, ev AS qv, {bucket_sql('ev')} AS b0
+           FROM e WHERE vec_id < 3),
+    probes AS (SELECT q_id, qv, xor(b0, m) AS bucket
+               FROM qs CROSS JOIN (SELECT unnest({masks_sql}) AS m) ms),
+    scored AS (
+      SELECT p.q_id AS q_id, r.vec_id AS vec_id,
+             round(list_dot_product(r.ev, p.qv)
+                   / (sqrt(list_dot_product(r.ev, r.ev))
+                      * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos_sim
+      FROM probes p JOIN rb r ON p.bucket = r.bucket),
+    ranked AS (SELECT q_id, vec_id, cos_sim,
+                      row_number() OVER (PARTITION BY q_id
+                                         ORDER BY cos_sim DESC, vec_id) AS rn
+               FROM scored)
+    SELECT q_id, vec_id, cos_sim FROM ranked WHERE rn <= {k}
+    """
+
+
+@q("knn_join_lsh_topk", _knn_lsh_oracle())
+def knn_join_lsh_topk(spark, sf_dir):
+    """The corpus-scale kNN-join shape: bucket both sides, multi-probe the
+    query side, join on bucket, exact re-rank (never a cross join)."""
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return SM.knn_join_lsh(
+        qs, e, "qv", "embedding", "q_id", "vec_id",
+        k=5, dim=64, n_planes=4, probe_bits=1,
+    )
+
+
 # ---------------------------------------------------------------------------
 # URL / frontier queries (URLs synthesized identically in both engines)
 # ---------------------------------------------------------------------------

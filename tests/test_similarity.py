@@ -51,3 +51,56 @@ def test_knn_join_topk_per_query(spark, sf_dir):
     for q_id, rows in per_q.items():
         assert len(rows) == 4
         assert max(r["cos_sim"] for r in rows) == 1.0  # self is nearest
+
+
+def test_knn_join_lsh_recall_at_1k_queries(spark, sf_dir):
+    """Bucketed multi-probe kNN join must reach recall@5 ≥ 0.9 against the
+    exact brute-force join over 1,000 deterministic query vectors."""
+    from commoncrawlscalatools_spark.operators.similarity import knn_join_lsh
+
+    corpus = _embeddings(spark, sf_dir)
+    base = np.array(
+        [r["embedding"] for r in corpus.orderBy("vec_id").collect()], dtype="float64"
+    )
+    # realistic ANN workload: queries are corpus points + noise (the near-dup
+    # retrieval case LSH is built for), not isotropic-random vectors whose
+    # "neighbors" are ~orthogonal
+    rng = np.random.default_rng(123)
+    idx = rng.integers(0, len(base), size=1000)
+    qv = base[idx] + 0.25 * rng.standard_normal((1000, base.shape[1])) * np.abs(base[idx]).mean()
+    qs = spark.createDataFrame(
+        [(i, [float(x) for x in qv[i]]) for i in range(len(qv))],
+        "q_id long, qv array<float>",
+    )
+
+    exact = knn_join(qs, corpus, "qv", "embedding", "q_id", "vec_id", k=5)
+    approx = knn_join_lsh(
+        qs, corpus, "qv", "embedding", "q_id", "vec_id",
+        k=5, dim=64, n_planes=4, probe_bits=2, n_tables=2,
+    )
+    truth = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    got = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall@5 = {recall:.3f}"
+
+
+def test_knn_join_lsh_pairs_unique_and_ranked(spark, sf_dir):
+    """Multi-probe replication must never duplicate a (query, neighbor)
+    pair, and each query returns at most k rows ranked by cos_sim."""
+    from commoncrawlscalatools_spark.operators.similarity import knn_join_lsh
+
+    corpus = _embeddings(spark, sf_dir)
+    qs = corpus.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    out = knn_join_lsh(qs, corpus, "qv", "embedding", "q_id", "vec_id",
+                       k=5, dim=64, n_planes=4, probe_bits=1).collect()
+    seen = set()
+    per_q = {}
+    for r in out:
+        assert (r["q_id"], r["vec_id"]) not in seen
+        seen.add((r["q_id"], r["vec_id"]))
+        per_q.setdefault(r["q_id"], []).append(r["cos_sim"])
+    for q, sims in per_q.items():
+        assert len(sims) <= 5
+        assert sims == sorted(sims, reverse=True)
