@@ -940,6 +940,46 @@ def frontier_schedule(spark, sf_dir):
     return sched.select("host", "url", "fetch_seq", "not_before_ms")
 
 
+@q(
+    "frontier_retries",
+    f"""
+    WITH cand AS (
+      SELECT {_CANON_SQL} AS url, CAST(max(doc_id * 1.0) AS DOUBLE) AS priority
+      FROM documents GROUP BY 1),
+    outc AS (
+      SELECT url, priority,
+             (CAST(('0x' || substr(md5(url || ':' || '1'), 1, 8)) AS BIGINT)
+              % 1000) < 250 AS failed
+      FROM cand)
+    SELECT url,
+           CASE WHEN failed THEN 'pending' ELSE 'fetched' END AS state,
+           CASE WHEN failed THEN 1 ELSE 0 END AS retries,
+           round(CASE WHEN failed THEN priority * 0.5 ELSE priority END, 6)
+               AS priority,
+           CASE WHEN failed THEN 'fetch failed round 1 (retry 1)'
+                ELSE 'fetched round 1' END AS log_message
+    FROM outc
+    """,
+)
+def frontier_retries(spark, sf_dir):
+    """The typed retry path (reference ProcessWETPaths.scala:111-191) as an
+    oracle-checked state transition: deterministic md5-keyed failures →
+    requeue with retries+1 + backoff priority vs fetched. The oracle
+    reproduces the failure predicate bit-for-bit (md5, not xxhash64)."""
+    from commoncrawlscalatools_spark.operators import frontier as FR
+
+    urls = _urls_df(spark, sf_dir)
+    seeds = urls.select("url", F.col("doc_id").cast("double").alias("priority"))
+    frontier = FR.as_frontier_rows(FR.canonicalize_seeds(seeds), 0)
+    outcome = FR.fetch_outcome(frontier, round_no=1, fail_permille=250)
+    nxt = FR.apply_fetch_results(frontier, outcome, 1, max_retries=3)
+    return nxt.select(
+        "url", "state", "retries",
+        F.round(F.col("priority"), 6).alias("priority"),
+        "log_message",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events (windowed agg, sessionization, running agg)
 # ---------------------------------------------------------------------------
@@ -1128,6 +1168,37 @@ def relevance_content_join(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     topk = RV.search_topk(d, ["join", "merge"], "text", "doc_id", k=50)
     return RV.fetch_content_for_topk(topk, d).select("doc_id", "relevance", "n_chars")
+
+
+@q("wet_fixture_records", None)
+def wet_fixture_records(spark, sf_dir):
+    """S1+S2 end-to-end on the reference's REAL golden .wet.gz bytes
+    (tests/fixtures/wet/, from warcparser/src/test/resources/): gzip →
+    concatenated-member inflate (Reader.scala:25-61) → record split →
+    completeness gates → per-fixture complete/quarantined counts. Rows-only
+    (binary fixtures, no SQL-oracle equivalent); the per-fixture counts are
+    pinned to ParserSpec in tests/test_wet_gz.py."""
+    import os
+
+    from commoncrawlscalatools_spark.sources import wet as WT
+
+    fixdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "wet",
+    )
+    parsed = WT.parse_wet_archive(WT.read_wet_gz(spark, os.path.join(fixdir, "*.wet.gz")))
+    by_fix = parsed.withColumn(
+        "fixture", F.element_at(F.split("wet_path", "/"), -1)
+    )
+    return (
+        by_fix.groupBy("fixture")
+        .agg(
+            F.sum((F.col("record_kind") == "conversion").cast("long")).alias("n_conversions"),
+            F.sum((F.col("record_kind") == "warcinfo").cast("long")).alias("n_warcinfo"),
+            F.sum((F.col("record_kind") == "corrupt").cast("long")).alias("n_corrupt"),
+        )
+        .orderBy("fixture")
+    )
 
 
 @q(

@@ -21,8 +21,12 @@ itself does this when persisting — ProcessWETPaths.scala:30-43).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import zlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from commoncrawlscalatools_spark.functions.urls import url_tld
 
@@ -51,6 +55,83 @@ _HEADERS = {
 }
 
 
+def gunzip_concat(data: bytes) -> tuple[str, int, bool]:
+    """Decompress a (possibly multi-member, possibly truncated) gzip blob.
+
+    Reference analog: Reader.GZIPCompatibilityWrapper (Reader.scala:25-61)
+    exists solely to keep GZIPInputStream reading CONCATENATED gzip members
+    — CommonCrawl WET files are written that way — and the parser treats an
+    unexpected EOF in the last member as end-of-archive, keeping every
+    record already extracted (ParserSpec: appended_zip_fragment_unexpected_eof).
+
+    Returns (text, complete_members, truncated). A truncated final member's
+    partial plaintext IS included — the record-completeness gate downstream
+    quarantines any half record it contains."""
+    out: list[bytes] = []
+    n_members = 0
+    truncated = False
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)  # gzip framing
+        try:
+            chunk = d.decompress(data[pos:])
+        except zlib.error:
+            truncated = True  # corrupt member: keep what prior members gave
+            break
+        out.append(chunk)
+        if not d.eof:
+            truncated = True  # ran out of compressed bytes mid-member
+            break
+        n_members += 1
+        rest = d.unused_data
+        if not rest:
+            break
+        pos = len(data) - len(rest)
+    return b"".join(out).decode("utf-8", errors="replace"), n_members, truncated
+
+
+WET_ARCHIVE_SCHEMA = T.StructType(
+    [
+        T.StructField("wet_path", T.StringType(), False),
+        T.StructField("archive_text", T.StringType(), False),
+        T.StructField("n_members", T.IntegerType(), False),
+        T.StructField("truncated", T.BooleanType(), False),
+    ]
+)
+
+
+def read_wet_gz(spark: SparkSession, path: str) -> DataFrame:
+    """Real `.wet.gz` bytes → (wet_path, archive_text, n_members, truncated).
+
+    spark.read.format('binaryFile') gives one row per archive (gzip is not
+    splittable, so one-file-per-task is the correct parallel unit — the
+    reference assigns whole WET paths to tasks the same way,
+    ProcessWETPaths.scala); decompression is an Arrow-batched mapInPandas
+    (per-blob zlib work, no per-row Python in any row path). At cluster
+    scale a ~150 MB .wet.gz inflates to <1 GB per task — well inside
+    executor memory; parallelism comes from the number of archives."""
+    bin_df = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def inflate(batches):
+        for pdf in batches:
+            texts, members, trunc = [], [], []
+            for blob in pdf["content"]:
+                t, n, tr = gunzip_concat(bytes(blob))
+                texts.append(t)
+                members.append(n)
+                trunc.append(tr)
+            yield pd.DataFrame(
+                {
+                    "wet_path": pdf["path"],
+                    "archive_text": texts,
+                    "n_members": members,
+                    "truncated": trunc,
+                }
+            )
+
+    return bin_df.mapInPandas(inflate, WET_ARCHIVE_SCHEMA)
+
+
 def _header(block: Column, name: str) -> Column:
     v = F.regexp_extract(block, rf"(?m)^{name}:[ \t]*(.*?)\r?$", 1)
     return F.when(v != "", v)
@@ -76,12 +157,18 @@ def parse_wet_archive(
     for col_name, header in _HEADERS.items():
         cols.append(_header(F.col("block"), header).alias(col_name))
     # body = everything after the first blank line
-    body = F.regexp_replace(
-        F.regexp_extract(F.col("block"), r"(?s)\r?\n\r?\n(.*)$", 1), r"[\r\n]+$", ""
-    )
+    raw_body = F.regexp_extract(F.col("block"), r"(?s)\r?\n\r?\n(.*)$", 1)
+    body = F.regexp_replace(raw_body, r"[\r\n]+$", "")
     cols.append(F.when(body != "", body).alias("content"))
+    # the reference reads exactly Content-Length bytes and hits EOF on a
+    # truncated record (Parser FSA → incomplete, dropped): a record is
+    # length-complete iff the raw body carries at least that many bytes
+    cols.append(F.octet_length(raw_body).alias("__body_bytes"))
     parsed = exploded.select(*cols)
 
+    length_ok = F.col("content_length").isNull() | (
+        F.col("__body_bytes") >= F.col("content_length").cast("long")
+    )
     info_ok = (
         (F.col("warc_type") == "warcinfo")
         & F.col("warc_date").isNotNull()
@@ -96,17 +183,31 @@ def parse_wet_archive(
         conv_ok = conv_ok & F.col(c).isNotNull()
     return parsed.withColumn(
         "record_kind",
-        F.when(info_ok, "warcinfo").when(conv_ok, "conversion").otherwise("corrupt"),
-    )
+        F.when(info_ok & length_ok, "warcinfo")
+        .when(conv_ok & length_ok, "conversion")
+        .otherwise("corrupt"),
+    ).drop("__body_bytes")
 
 
-def conversions_with_info(parsed: DataFrame, path_col: str = "wet_path") -> DataFrame:
+def conversions_with_info(
+    parsed: DataFrame, path_col: str = "wet_path", strict_info: bool = False
+) -> DataFrame:
     """Valid conversion records with archive-level warcinfo fields
     denormalized on (WARCInfo fallback semantics,
     WARCConversion.scala:90-114) + derived TLD column
-    (WARCConversion.scala:175-185)."""
+    (WARCConversion.scala:175-185).
+
+    strict_info=True reproduces the reference FSA's gate exactly: the FIRST
+    record of the file must be a valid warcinfo or the file yields NO
+    records at all (Parser Sink1; ParserSpec: corrupt_starts_with_conversion
+    — a later warcinfo does not rescue it — and corrupt_warcinfo_1 → 0
+    records). Default False keeps the lenient salvage behavior
+    (conversions survive a lost warcinfo)."""
+    info_src = parsed.filter(F.col("record_kind") == "warcinfo")
+    if strict_info:
+        info_src = info_src.filter(F.col("record_pos") == 1)
     info = (
-        parsed.filter(F.col("record_kind") == "warcinfo")
+        info_src
         .groupBy(path_col)
         .agg(
             F.min_by("warc_filename", "record_pos").alias("info_filename"),
@@ -114,8 +215,9 @@ def conversions_with_info(parsed: DataFrame, path_col: str = "wet_path") -> Data
         )
     )
     conv = parsed.filter(F.col("record_kind") == "conversion")
+    how = "inner" if strict_info else "left"
     return (
-        conv.join(F.broadcast(info), path_col, "left")
+        conv.join(F.broadcast(info), path_col, how)
         .withColumn("warc_tldn", url_tld(F.col("warc_target_uri")))
         .withColumn("content_length_int", F.col("content_length").cast("int"))
     )
