@@ -6,10 +6,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from commoncrawlscalatools_spark.functions.cleaner import (
-    _detect_sentence_ending,
-    _keep_line_py,
     clean_document_py,
     clean_documents,
+    detect_sentence_ending,
+    keep_line,
     keep_lines,
 )
 
@@ -17,23 +17,27 @@ LONG = "This is a perfectly reasonable sentence with enough tokens to keep."
 
 
 def test_sentence_ending_detection():
-    assert _detect_sentence_ending("It ends here.")
-    assert _detect_sentence_ending("Does it end?")
-    assert _detect_sentence_ending("It does!")
-    assert not _detect_sentence_ending("trailing dots..")  # '..' rejected
-    assert _detect_sentence_ending("ellipsis works...")
-    assert _detect_sentence_ending('He said "stop."')
-    assert _detect_sentence_ending("quote after period.”")
-    assert not _detect_sentence_ending("no ending here")
+    assert detect_sentence_ending("It ends here.")
+    assert detect_sentence_ending("Does it end?")
+    assert detect_sentence_ending("It does!")
+    # bug-compatible with the reference (takeRight(3) == ".."): a line
+    # ENDING in '..' still reads as an ending here; cleanTextBlock's
+    # adjacent-period check is what rejects '..' endings (Spec:153)
+    assert detect_sentence_ending("trailing dots..")
+    assert not detect_sentence_ending("..")
+    assert detect_sentence_ending("ellipsis works...")
+    assert detect_sentence_ending('He said "stop."')
+    assert detect_sentence_ending("quote after period.”")
+    assert not detect_sentence_ending("no ending here")
 
 
 def test_keep_line_rules():
-    assert _keep_line_py(LONG, False)
-    assert not _keep_line_py("too short line.", False)  # ≤5 tokens, no block
-    assert _keep_line_py("ends the block.", True)  # sentence-final exception
-    assert not _keep_line_py("1 2 3 4 5 6 7 8 9", False)  # all numeric
+    assert keep_line(LONG, False)
+    assert not keep_line("too short line.", False)  # ≤5 tokens, no block
+    assert keep_line("ends the block.", True)  # sentence-final exception
+    assert not keep_line("1 2 3 4 5 6 7 8 9", False)  # all numeric
     nav = "| | | | | | |"
-    assert not _keep_line_py(nav, False)  # <65% alnum tokens
+    assert not keep_line(nav, False)  # <65% alnum tokens
 
 
 def test_clean_prefix_suffix_trimming():
@@ -58,12 +62,12 @@ def test_url_period_not_ending():
 
 def test_block_without_ending_dropped():
     raw = "this line has many tokens but never terminates with punctuation at all"
-    assert clean_document_py(raw) is None
+    assert clean_document_py(raw) == ""
 
 
 def test_none_and_empty():
     assert clean_document_py(None) is None
-    assert clean_document_py("") is None
+    assert clean_document_py("") == "" 
 
 
 def test_short_final_line_kept():
