@@ -43,13 +43,52 @@ HEADLINE = [
     "relevance_topk",
     "minhash_dedup_pairs",
     "simhash_pairs",
+    "ngram_jaccard_pairs",
     "ann_cosine_topk",
+    "knn_join_lsh_topk",
     "doc_fingerprints",
     "sessionize_events",
     "windowed_event_agg",
     "url_canonicalize",
     "frontier_schedule",
+    "frontier_retries",
 ]
+
+
+def engine_round_bench(spark, n_seeds: int, n_hosts: int) -> dict:
+    """Store-backed CrawlEngine round (snapshot commits on tmpfs): measures
+    the full round protocol — schedule → fetch → seen/bloom/host/lineage/
+    metrics/frontier commits — whose fixed costs the round-2 rework cut
+    (Observation counters instead of counting actions, persisted scheduling
+    window, incremental Bloom delta, frontier-last atomic marker)."""
+    import shutil
+
+    from commoncrawlscalatools_spark.operators.robots import generate_robots
+    from commoncrawlscalatools_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from commoncrawlscalatools_spark.sources.seeds import generate_seeds
+
+    store = "/dev/shm/spark-graft-bench-store"
+    shutil.rmtree(store, ignore_errors=True)
+    eng = CrawlEngine(
+        spark,
+        store,
+        CrawlConfig(per_host_cap=1000, n_hosts=n_hosts, bloom_buckets=64),
+    )
+    eng.bootstrap(
+        generate_seeds(spark, n_seeds, seed=42, n_hosts=n_hosts),
+        generate_robots(spark, n_hosts, seed=42),
+    )
+    metrics = eng.run(2)
+    shutil.rmtree(store, ignore_errors=True)
+    r2 = metrics[-1]
+    return {
+        "rounds": len(metrics),
+        "round2_wall_s": r2["wall_s"],
+        "round2_docs": r2["fetched_docs"],
+        "round2_docs_per_s": r2["docs_per_s"],
+        "total_docs": sum(m["fetched_docs"] for m in metrics),
+        "total_wall_s": round(sum(m["wall_s"] for m in metrics), 3),
+    }
 
 
 def crawl_round_bench(spark, n_seeds: int, n_hosts: int, per_host_cap: int) -> dict:
@@ -100,6 +139,10 @@ def main():
     )
     per_query["crawl_round"] = crawl["wall_s"]
 
+    # store-backed engine round (snapshot commit protocol included)
+    engine = engine_round_bench(spark, n_seeds // 3, max(200, n_seeds // 1500))
+    per_query["engine_round2"] = engine["round2_wall_s"]
+
     total = round(sum(per_query.values()), 3)
     print(
         json.dumps(
@@ -110,6 +153,7 @@ def main():
                 "queries": per_query,
                 "sf": sf,
                 "crawl": crawl,
+                "engine": engine,
                 "total_query_sec": total,
                 "cpus": cpus,
             }

@@ -116,6 +116,27 @@ def categories_expr(text: Column, config: TopicFilterConfig | None = None) -> Co
     return F.array_sort(F.filter(arr, lambda x: x.isNotNull()))
 
 
+def decode_category_string(col: Column) -> Column:
+    """Legacy category-string codec (F7): the reference stored category
+    sets as "{'existenceofgod','guncontrol'}" and decoded them by hand
+    (getSubwordsFromWETRecords.scala get_list_of_categories / refilterWET
+    Records.scala:42-50: split on "','", strip [}{']). Same two steps as a
+    codegen'd expression; empty/null strings decode to an empty array."""
+    parts = F.split(col, "','")
+    decoded = F.transform(parts, lambda x: F.regexp_replace(x, r"[}{']", ""))
+    decoded = F.filter(decoded, lambda x: x != "")
+    return F.when(col.isNotNull(), decoded).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def encode_category_string(categories: Column) -> Column:
+    """Inverse codec: array<string> → the reference's storage format."""
+    return F.concat(
+        F.lit("{'"), F.array_join(categories, "','"), F.lit("'}")
+    )
+
+
 def category_counts_map(text: Column, config: TopicFilterConfig | None = None) -> Column:
     """`map<string, struct<core:int, secondary:int>>` of raw counts."""
     config = config or TopicFilterConfig()

@@ -228,6 +228,67 @@ def quarantine(parsed: DataFrame) -> DataFrame:
     return parsed.filter(F.col("record_kind") == "corrupt")
 
 
+def archive_lifecycle(parsed: DataFrame, path_col: str = "wet_path") -> DataFrame:
+    """Per-archive started/finished/records/log rows — the reference's
+    parser lifecycle triggers as DATA (MyFinishTrigger.scala:92-111 fields
+    fileid/recordcount/logmessage; message strings from Parser.scala via
+    ParserSpec:288,331,347,361). One row per archive:
+
+      (wet_path, file_id, records_extracted, corrupt_records, log_message)
+
+    where log_message is exactly the reference's finish-trigger string:
+      * no valid first warcinfo   → "File Parse Error - Corruption
+        detected, was not able to find complete WARCInfo record"
+      * corruption, 0 conversions → "File Parse Error - Corruption
+        detected and no WARC Conversion records were extracted"
+      * corruption, >0            → "File Parsed - Some corruption detected"
+      * clean                     → "File Parsed Normally"
+    """
+    per = parsed.groupBy(path_col).agg(
+        F.sum((F.col("record_kind") == "conversion").cast("long")).alias(
+            "records_extracted"
+        ),
+        F.sum((F.col("record_kind") == "corrupt").cast("long")).alias(
+            "corrupt_records"
+        ),
+        F.max(
+            F.when(
+                (F.col("record_kind") == "warcinfo") & (F.col("record_pos") == 1),
+                F.col("warc_filename"),
+            )
+        ).alias("file_id"),
+    )
+    no_info = F.col("file_id").isNull()
+    corrupted = F.col("corrupt_records") > 0
+    log = (
+        F.when(
+            no_info,
+            F.lit(
+                "File Parse Error - Corruption detected, was not able to "
+                "find complete WARCInfo record"
+            ),
+        )
+        .when(
+            corrupted & (F.col("records_extracted") == 0),
+            F.lit(
+                "File Parse Error - Corruption detected and no WARC "
+                "Conversion records were extracted"
+            ),
+        )
+        .when(corrupted, F.lit("File Parsed - Some corruption detected"))
+        .otherwise(F.lit("File Parsed Normally"))
+    )
+    # strict gate: archives without a valid first warcinfo extract nothing
+    records = F.when(no_info, F.lit(0)).otherwise(F.col("records_extracted"))
+    return per.select(
+        path_col,
+        "file_id",
+        records.alias("records_extracted"),
+        "corrupt_records",
+        log.alias("log_message"),
+    )
+
+
 def validate_fixture_records(records: DataFrame) -> DataFrame:
     """FIXTURES.md §6 wet_records table → validity routing: adds
     `record_kind` (warcinfo/conversion/corrupt) + `warc_tldn`. The

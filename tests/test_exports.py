@@ -37,3 +37,25 @@ def test_write_partitioned_by_tld(spark, tmp_path):
         open(f).read() for f in glob.glob(f"{out}/tld=com/*.txt") + glob.glob(f"{out}/tld=com/part-*")
     )
     assert "first document body" in com_text and "third document body" in com_text
+
+
+def test_write_jdbc_builds_correct_writer(spark, monkeypatch):
+    """S9 JDBC sink (createCorpusPostSVMToMySQL.scala:321): no database in
+    this sandbox, so assert the exact writer invocation (append-mode
+    df.write.jdbc with url/table/properties passed through)."""
+    from commoncrawlscalatools_spark.sources.exports import write_jdbc
+
+    df = spark.range(3).withColumnRenamed("id", "x")
+    calls = {}
+
+    def fake_jdbc(self, url, table, mode=None, properties=None):
+        calls.update(url=url, table=table, mode=mode, properties=properties)
+
+    monkeypatch.setattr(
+        "pyspark.sql.readwriter.DataFrameWriter.jdbc", fake_jdbc, raising=True
+    )
+    write_jdbc(df, "jdbc:mysql://db:3306/corpus", "pilot_export",
+               {"user": "u", "password": "p", "driver": "com.mysql.cj.jdbc.Driver"})
+    assert calls["url"] == "jdbc:mysql://db:3306/corpus"
+    assert calls["table"] == "pilot_export"
+    assert calls["properties"]["driver"] == "com.mysql.cj.jdbc.Driver"

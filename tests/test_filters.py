@@ -103,3 +103,29 @@ def test_mention_count_sums_keywords(spark):
         mention_count(F.col("t"), ["gun", "abortion", "evolution", "god"])
     ).collect()[0][0]
     assert n == 4
+
+
+def test_category_string_codec_roundtrip(spark):
+    """F7 legacy codec (refilterWETRecords.scala:42-50): the reference's
+    "{'a','b'}" storage format decodes to an array and re-encodes."""
+    from pyspark.sql import functions as F
+
+    from commoncrawlscalatools_spark.operators.filters import (
+        decode_category_string,
+        encode_category_string,
+    )
+
+    rows = [
+        ("{'existenceofgod','guncontrol'}", ["existenceofgod", "guncontrol"]),
+        ("{'abortion'}", ["abortion"]),
+        ("{}", []),
+        (None, []),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in rows], "cat string")
+    got = df.select(decode_category_string(F.col("cat")).alias("d")).collect()
+    assert [list(r["d"]) for r in got] == [e for _, e in rows]
+    enc = df.select(
+        encode_category_string(decode_category_string(F.col("cat"))).alias("e")
+    ).collect()
+    assert enc[0]["e"] == "{'existenceofgod','guncontrol'}"
+    assert enc[1]["e"] == "{'abortion'}"

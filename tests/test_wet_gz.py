@@ -154,3 +154,36 @@ def test_gunzip_concat_multi_member_and_truncation():
     # cut the second member short: keep member 1 + partial member 2
     text, n, truncated = gunzip_concat(a + b[:-6])
     assert truncated is True and n == 1 and text.startswith("alpha\n")
+
+
+def test_archive_lifecycle_log_messages(parsed_all):
+    """W5 finish-trigger strings as data, pinned to ParserSpec:288,331,347,361."""
+    from commoncrawlscalatools_spark.sources.wet import archive_lifecycle
+
+    rows = {
+        r["wet_path"].split("/")[-1]: r
+        for r in archive_lifecycle(parsed_all).collect()
+    }
+    assert rows["fragment3.wet.gz"]["log_message"] == "File Parsed Normally"
+    assert rows["fragment3.wet.gz"]["records_extracted"] == 5
+    assert (
+        rows["corrupt_warcconversion_1.wet.gz"]["log_message"]
+        == "File Parsed - Some corruption detected"
+    )
+    assert rows["corrupt_warcconversion_1.wet.gz"]["records_extracted"] == 4
+    assert (
+        rows["corrupt_warcconversion_2.wet.gz"]["log_message"]
+        == "File Parse Error - Corruption detected and no WARC Conversion "
+        "records were extracted"
+    )
+    for f in ("corrupt_warcinfo_1.wet.gz", "corrupt_starts_with_conversion.wet.gz"):
+        assert (
+            rows[f]["log_message"]
+            == "File Parse Error - Corruption detected, was not able to find "
+            "complete WARCInfo record"
+        )
+        assert rows[f]["records_extracted"] == 0
+    assert (
+        rows["fragment3.wet.gz"]["file_id"]
+        == "CC-MAIN-20161202170900-00009-ip-10-31-129-80.ec2.internal.warc.wet.gz"
+    )
