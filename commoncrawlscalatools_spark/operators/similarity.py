@@ -85,20 +85,25 @@ def lsh_cosine_topk(
     id_col: str = "vec_id",
     k: int = 10,
     n_planes: int = 4,
+    probe_bits: int = 1,
     seed: int = 7,
 ) -> DataFrame:
-    """ANN: restrict exact scoring to the query's LSH bucket. At 100 TB the
-    bucket column is precomputed+partitioned at write time, so a query scans
-    one partition (partition pruning) instead of the full table."""
+    """ANN: restrict exact scoring to the query's LSH bucket plus its
+    multi-probe neighbors (all buckets within Hamming distance
+    `probe_bits` — removes the single-probe recall cliff). At 100 TB the
+    bucket column is precomputed+partitioned at write time, so a query
+    scans len(probe_masks) partitions (partition pruning) instead of the
+    full table."""
     dim = len(query_vec)
     planes = [hyperplane(seed, j, dim) for j in range(n_planes)]
     q_bucket = 0
     for j, plane in enumerate(planes):
         if sum(float(a) * float(b) for a, b in zip(query_vec, plane)) >= 0:
             q_bucket |= 1 << j
+    probes = [q_bucket ^ m for m in probe_masks(n_planes, probe_bits)]
     bucketed = df.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
     return cosine_topk(
-        bucketed.filter(F.col("bucket") == q_bucket), query_vec, vec_col, id_col, k
+        bucketed.filter(F.col("bucket").isin(probes)), query_vec, vec_col, id_col, k
     )
 
 

@@ -758,6 +758,19 @@ def knn_join_labels(spark, sf_dir):
     return SM.knn_join(qs, e, "qv", "embedding", "q_id", "vec_id", k=5)
 
 
+def _lsh_bucket_sql(ev: str, n_planes: int, seed: int, dim: int) -> str:
+    """The deterministic hyperplane bucket as a DuckDB expression with the
+    plane constants inlined as SQL literals."""
+    terms = []
+    for j in range(n_planes):
+        plane = SM.hyperplane(seed, j, dim)
+        lit = "[" + ",".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({ev}, {lit}) >= 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
 def _knn_lsh_oracle(k: int = 5, n_planes: int = 4, probe_bits: int = 1,
                     seed: int = 7, dim: int = 64) -> str:
     """LSH-aware oracle for knn_join_lsh: the deterministic hyperplanes are
@@ -765,16 +778,9 @@ def _knn_lsh_oracle(k: int = 5, n_planes: int = 4, probe_bits: int = 1,
     multi-probe replication AND the re-rank exactly — green means parity of
     the approximate operator itself at any scale (recall vs brute force is
     asserted separately in test_similarity.py)."""
-    planes = [SM.hyperplane(seed, j, dim) for j in range(n_planes)]
 
     def bucket_sql(ev: str) -> str:
-        terms = []
-        for j, plane in enumerate(planes):
-            lit = "[" + ",".join(repr(x) for x in plane) + "]"
-            terms.append(
-                f"(CASE WHEN list_dot_product({ev}, {lit}) >= 0 THEN {1 << j} ELSE 0 END)"
-            )
-        return "(" + " + ".join(terms) + ")"
+        return _lsh_bucket_sql(ev, n_planes, seed, dim)
 
     masks = SM.probe_masks(n_planes, probe_bits)
     masks_sql = "[" + ",".join(str(m) for m in masks) + "]"
@@ -1334,13 +1340,38 @@ def crawl_round_docs(spark, sf_dir):
     return docs.select("doc_id", "url", "host", "fetch_seq", "n_text_spans", "n_media_spans")
 
 
-@q("ann_lsh_topk")
+def _ann_lsh_oracle(k: int = 10, n_planes: int = 3, probe_bits: int = 1,
+                    seed: int = 7, dim: int = 64) -> str:
+    bucket = _lsh_bucket_sql("ev", n_planes, seed, dim)
+    masks = SM.probe_masks(n_planes, probe_bits)
+    masks_sql = "[" + ",".join(str(m) for m in masks) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+               FROM embeddings),
+    q AS (SELECT ev AS qv, {bucket} AS b0 FROM e WHERE vec_id = 0),
+    b AS (SELECT vec_id, ev, {bucket} AS bucket FROM e),
+    probes AS (SELECT xor(b0, m) AS bucket, qv
+               FROM q CROSS JOIN (SELECT unnest({masks_sql}) AS m) ms)
+    SELECT vec_id, cos_sim FROM (
+      SELECT b.vec_id AS vec_id,
+             round(list_dot_product(b.ev, p.qv)
+                   / (sqrt(list_dot_product(b.ev, b.ev))
+                      * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos_sim
+      FROM b JOIN probes p ON b.bucket = p.bucket)
+    ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@q("ann_lsh_topk", _ann_lsh_oracle())
 def ann_lsh_topk(spark, sf_dir):
-    """LSH-bucketed ANN (scale path); recall vs brute force is sanity-tested
-    in tests/test_similarity.py."""
+    """LSH-bucketed ANN (scale path), multi-probe (Hamming-1 neighbors of
+    the query bucket); the oracle reproduces the bucketing + probe set +
+    re-rank with inlined plane literals. Recall vs brute force is
+    sanity-tested in tests/test_similarity.py."""
     e = t(spark, sf_dir, "embeddings")
     return SM.lsh_cosine_topk(
-        e, _query_vec(spark, sf_dir), "embedding", "vec_id", k=10, n_planes=3
+        e, _query_vec(spark, sf_dir), "embedding", "vec_id",
+        k=10, n_planes=3, probe_bits=1,
     )
 
 
