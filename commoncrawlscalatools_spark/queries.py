@@ -1176,6 +1176,53 @@ def relevance_content_join(spark, sf_dir):
     return RV.fetch_content_for_topk(topk, d).select("doc_id", "relevance", "n_chars")
 
 
+@q(
+    "media_payload_metadata",
+    """
+    WITH m AS (SELECT DISTINCT 'media://img/' || md5(text) AS media_ref
+               FROM documents),
+    p AS (SELECT media_ref,
+                 'FAKEBLOB:' || media_ref || ':' || repeat('x', 64) AS s,
+                 CAST(('0x' || substr(md5(media_ref), 1, 8)) AS BIGINT) AS h
+          FROM m)
+    SELECT media_ref, 'image' AS modality,
+           CAST(octet_length(encode(s)) AS BIGINT) AS n_bytes,
+           md5(s) AS content_hash,
+           CAST(h % 1920 + 1 AS INTEGER) AS width,
+           CAST((h // 1920) % 1080 + 1 AS INTEGER) AS height
+    FROM p
+    """,
+)
+def media_payload_metadata(spark, sf_dir):
+    """The REAL multimodal binary path under the oracle gate: deterministic
+    media refs → binary payload column → Arrow-batched mapInPandas metadata
+    extraction (operators/multimodal.py), with the fake-decode dimension
+    formula reproduced in SQL. Proves the binary-column plumbing (encode →
+    Arrow transfer → per-batch decode → typed metadata) end-to-end, not
+    just byte stats over text."""
+    from commoncrawlscalatools_spark.operators import multimodal as MM
+
+    d = t(spark, sf_dir, "documents")
+    media = (
+        d.select(F.concat(F.lit("media://img/"), F.md5("text")).alias("media_ref"))
+        .distinct()
+        .select(
+            "media_ref",
+            F.lit("image").alias("modality"),
+            F.encode(
+                F.concat(
+                    F.lit("FAKEBLOB:"), F.col("media_ref"), F.lit(":"),
+                    F.repeat(F.lit("x"), 64),
+                ),
+                "utf-8",
+            ).alias("payload"),
+        )
+    )
+    return MM.extract_media_metadata(media).select(
+        "media_ref", "modality", "n_bytes", "content_hash", "width", "height"
+    )
+
+
 @q("wet_fixture_records", None)
 def wet_fixture_records(spark, sf_dir):
     """S1+S2 end-to-end on the reference's REAL golden .wet.gz bytes
