@@ -1223,6 +1223,36 @@ def media_payload_metadata(spark, sf_dir):
     )
 
 
+@q("sessionize_stateful_stream", None)
+def sessionize_stateful_stream(spark, sf_dir):
+    """applyInPandasWithState sessionization driven as a real two-micro-batch
+    stream (state spans the batch boundary). Rows-only: Structured Streaming
+    has no DuckDB twin; equality with the batch sessionizer (which IS
+    oracle-checked as sessionize_events) is asserted in
+    tests/test_streaming.py::test_stateful_streaming_sessionize_matches_batch."""
+    import glob
+    import shutil
+    import tempfile
+
+    from commoncrawlscalatools_spark.streaming.stream import (
+        sessionize_stateful_streaming,
+    )
+
+    events = t(spark, sf_dir, "events").withColumn(
+        "te", F.col("ts").cast("timestamp").cast("long")
+    )
+    median = events.approxQuantile("te", [0.5], 0.0)[0]
+    d = tempfile.mkdtemp(prefix="sess_stream_")
+    for i, part in enumerate(
+        (events.filter(F.col("te") <= median), events.filter(F.col("te") > median))
+    ):
+        stage = f"{d}/stage{i}"
+        part.drop("te").coalesce(1).write.mode("overwrite").parquet(stage)
+        shutil.copy(glob.glob(stage + "/part-*.parquet")[0], f"{d}/{i:03d}.parquet")
+        shutil.rmtree(stage)
+    return sessionize_stateful_streaming(spark, d, gap_minutes=30)
+
+
 @q("wet_fixture_records", None)
 def wet_fixture_records(spark, sf_dir):
     """S1+S2 end-to-end on the reference's REAL golden .wet.gz bytes

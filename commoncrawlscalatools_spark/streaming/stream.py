@@ -82,6 +82,86 @@ def windowed_event_agg_streaming(
     return spark.table(name)
 
 
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_id long, n_events long, "
+    "start_epoch long, end_epoch long, sum_value double, open boolean"
+)
+SESSION_STATE_SCHEMA = (
+    "last_ts long, session_id long, n_events long, start_ts long, sum_value double"
+)
+
+
+def sessionize_stateful_streaming(
+    spark: SparkSession, events_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """TRUE stateful streaming sessionization via applyInPandasWithState
+    (the north rule's custom-stateful-operator surface): per-user session
+    state (last event time, open-session aggregates) lives in the state
+    store and carries ACROSS micro-batches — a session spanning two batches
+    closes with the correct totals. Each batch emits closed sessions plus a
+    snapshot of the still-open session (update mode); snapshots only grow,
+    so the latest (max n_events) row per (user, session) is the truth.
+
+    Requires per-user event-time order across batches (the file source
+    delivers files in order; the test splits by a time boundary). At scale
+    the same function runs over Kafka with a watermark-driven timeout
+    closing idle sessions (GroupStateTimeout.EventTimeTimeout)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+    schema = spark.read.parquet(events_dir).schema
+
+    def fn(key, pdfs, state):
+        user_id = key[0]
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            last_ts, sid, n, start_ts, sv = state.get
+        else:
+            last_ts, sid, n, start_ts, sv = None, 0, 0, None, 0.0
+        out = []
+        epochs = (rows["ts"].astype("int64") // 1_000_000_000).tolist()
+        values = rows["value"].tolist()
+        for t, v in zip(epochs, values):
+            if last_ts is None or t - last_ts > gap_s:
+                if n > 0:
+                    out.append((user_id, sid, n, start_ts, last_ts, sv, False))
+                sid += 1
+                n, start_ts, sv = 0, t, 0.0
+            n += 1
+            sv += float(v)
+            last_ts = t
+        state.update((last_ts, sid, n, start_ts, sv))
+        if n > 0:  # snapshot of the open session
+            out.append((user_id, sid, n, start_ts, last_ts, sv, True))
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "session_id", "n_events",
+                "start_epoch", "end_epoch", "sum_value", "open",
+            ],
+        )
+
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        events_dir
+    )
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    result = stream.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUT_SCHEMA,
+        SESSION_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    name = "sessionize_stateful_out"
+    q = result.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user: session starts where the gap from
     the previous event exceeds `gap_minutes`; session_id = cumulative count

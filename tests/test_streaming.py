@@ -1,5 +1,7 @@
 """Structured Streaming twin must match the batch plan exactly."""
 
+from pyspark.sql import functions as F
+
 from commoncrawlscalatools_spark.streaming.stream import (
     sessionize,
     windowed_event_agg,
@@ -40,3 +42,60 @@ def test_sessionize_gap_semantics(spark):
         for r in sessionize(df, gap_minutes=30).collect()
     }
     assert out == {(100, 1): 2, (100, 2): 1, (200, 1): 1}
+
+
+def test_stateful_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization must equal the batch twin even
+    when sessions SPAN micro-batches: events split into two files at the
+    median timestamp, maxFilesPerTrigger=1 forces two batches, per-user
+    state carries the open session across the boundary."""
+    import glob
+    import shutil
+
+    from commoncrawlscalatools_spark.streaming.stream import (
+        sessionize,
+        sessionize_stateful_streaming,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with_epoch = events.withColumn(
+        "te", F.col("ts").cast("timestamp").cast("long")
+    )
+    median = with_epoch.approxQuantile("te", [0.5], 0.0)[0]
+    stream_dir = tmp_path / "events_stream"
+    stream_dir.mkdir()
+    for i, part in enumerate(
+        (
+            with_epoch.filter(F.col("te") <= median).drop("te"),
+            with_epoch.filter(F.col("te") > median).drop("te"),
+        )
+    ):
+        tmp_out = str(tmp_path / f"stage{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        src = glob.glob(tmp_out + "/part-*.parquet")[0]
+        shutil.copy(src, str(stream_dir / f"{i:03d}.parquet"))
+
+    got = sessionize_stateful_streaming(spark, str(stream_dir), gap_minutes=30)
+    # snapshots only grow: latest state of each (user, session) = max n_events
+    latest = {}
+    for r in got.collect():
+        k = (r["user_id"], r["session_id"])
+        if k not in latest or r["n_events"] > latest[k]["n_events"]:
+            latest[k] = r
+    stream_sessions = {
+        k: (r["n_events"], r["start_epoch"], r["end_epoch"], round(r["sum_value"], 6))
+        for k, r in latest.items()
+    }
+
+    batch = sessionize(events, gap_minutes=30)
+    epoch = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
+    batch_sessions = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["se"], r["ee"], round(r["sum_value"], 6)
+        )
+        for r in batch.select(
+            "user_id", "session_id", "n_events", "sum_value",
+            epoch("session_start").alias("se"), epoch("session_end").alias("ee"),
+        ).collect()
+    }
+    assert stream_sessions == batch_sessions
