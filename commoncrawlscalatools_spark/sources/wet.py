@@ -166,9 +166,11 @@ def parse_wet_archive(
     cols.append(F.octet_length(raw_body).alias("__body_bytes"))
     parsed = exploded.select(*cols)
 
-    length_ok = F.col("content_length").isNull() | (
-        F.col("__body_bytes") >= F.col("content_length").cast("long")
-    )
+    # an unparseable Content-Length can't drive the byte check — the record
+    # model treats it as headers-complete (WARCConversionSpec garbage-URI
+    # case carries "my content length" and is still complete)
+    parsed_len = F.col("content_length").try_cast("long")
+    length_ok = parsed_len.isNull() | (F.col("__body_bytes") >= parsed_len)
     info_ok = (
         (F.col("warc_type") == "warcinfo")
         & F.col("warc_date").isNotNull()
@@ -219,7 +221,7 @@ def conversions_with_info(
     return (
         conv.join(F.broadcast(info), path_col, how)
         .withColumn("warc_tldn", url_tld(F.col("warc_target_uri")))
-        .withColumn("content_length_int", F.col("content_length").cast("int"))
+        .withColumn("content_length_int", F.col("content_length").try_cast("int"))
     )
 
 

@@ -104,3 +104,43 @@ def test_fixture_record_validation(spark):
         "<id3>": "corrupt",
         "<id4>": "corrupt",
     }
+
+
+def test_garbage_uri_record_complete_but_no_tld(spark):
+    """WARCConversionSpec garbage-URI case: 'blahblahblah' as the target URI
+    and a non-numeric Content-Length still make a COMPLETE conversion record
+    (header presence is what completeness checks), but the TLD is None."""
+    from commoncrawlscalatools_spark.sources.wet import (
+        conversions_with_info,
+        parse_wet_archive,
+    )
+
+    block = (
+        "preamble\nWARC/1.0\n"
+        "WARC-Type: warcinfo\n"
+        "WARC-Date: 2016-12-13T03:22:59Z\n"
+        "WARC-Filename: test.warc.wet.gz\n"
+        "WARC-Record-ID: <urn:uuid:1>\n"
+        "Content-Type: application/warc-fields\n"
+        "Content-Length: 18\n"
+        "\n"
+        "This is my content\n"
+        "WARC/1.0\n"
+        "WARC-Type: conversion\n"
+        "WARC-Target-URI: blahblahblah\n"
+        "WARC-Date: 2016-12-13T03:22:59Z\n"
+        "WARC-Record-ID: <urn:uuid:2>\n"
+        "WARC-Refers-To: my refers to\n"
+        "WARC-Block-Digest: my block digest\n"
+        "Content-Type: my content type\n"
+        "Content-Length: my content length\n"
+        "\n"
+        "This is my content\n"
+    )
+    df = spark.createDataFrame([("a.wet", block)], ["wet_path", "archive_text"])
+    parsed = parse_wet_archive(df)
+    conv = conversions_with_info(parsed, strict_info=True).collect()
+    assert len(conv) == 1
+    assert conv[0]["record_kind"] == "conversion"  # complete despite garbage
+    assert conv[0]["warc_tldn"] is None
+    assert conv[0]["content_length_int"] is None
