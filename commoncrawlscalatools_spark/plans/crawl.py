@@ -115,8 +115,11 @@ class CrawlEngine:
             coalesce=4,
         )
         self.store.write("robots", robots, 0, coalesce=4)
-        # frontier last: the round-0 marker
-        self.store.write("frontier", frontier0, 0)
+        # frontier last: the round-0 marker. Partitioned by state so the
+        # next round's pending scan prunes fetched/failed files outright
+        # (Iceberg partition-spec stand-in; at 10^10 URLs the pending slice
+        # is the small hot set, the fetched log is cold).
+        self.store.write("frontier", frontier0, 0, partition_by=["state"])
 
     def latest_round(self) -> int:
         v = self.store.latest_version("frontier")
@@ -273,7 +276,7 @@ class CrawlEngine:
         # frontier LAST: publishing it is the round's commit point. Its
         # observation values land in the returned dict only (the metrics
         # table is committed just above, before the marker).
-        self.store.write("frontier", frontier_next, round_no)
+        self.store.write("frontier", frontier_next, round_no, partition_by=["state"])
         fvals = obs_front.get
         metrics["frontier_rows"] = int(fvals["n_rows"] or 0)
         metrics["failed_urls"] = int(fvals["n_failed"] or 0)

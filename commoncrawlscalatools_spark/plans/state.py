@@ -43,16 +43,28 @@ class SnapshotStore:
         v = self.versions(table)
         return v[-1] if v else None
 
-    def write(self, table: str, df: DataFrame, version: int, coalesce: int | None = None) -> None:
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        version: int,
+        coalesce: int | None = None,
+        partition_by: list[str] | None = None,
+    ) -> None:
         """Write snapshot `version`; publish atomically. Small state tables
         are coalesced to avoid the small-files tax that kills fixed-cost
-        scaling efficiency (SURVEY.md §7.4)."""
+        scaling efficiency (SURVEY.md §7.4). `partition_by` maps to hive
+        partitioning (Iceberg partition spec stand-in) so downstream state
+        predicates prune at the file level."""
         tdir = os.path.join(self.root, table)
         os.makedirs(tdir, exist_ok=True)
         path = os.path.join(tdir, f"v={version}")
         if coalesce:
             df = df.coalesce(coalesce)
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
         manifest = self._read_manifest(table)
         if version not in manifest["versions"]:
             manifest["versions"] = sorted(set(manifest["versions"]) | {version})
