@@ -46,7 +46,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Arrow batch size: measured on the 2M-seed crawl round at 32
+        # threads — 20k rows/batch cut the fetch/extract stage 22.6s→16.3s
+        # (fewer batch handoffs per python worker); 50k regressed (memory
+        # pressure), 10k was the stable-but-slower floor. Neutral at 8
+        # threads.
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "20000"),
+        )
         # Right-size the heap + use the throughput collector: on this host,
         # G1 with a large heap collapsed allocation-heavy multithreaded
         # stages (observed 15-28× slowdowns at 32 threads; jstack showed all
