@@ -134,6 +134,41 @@ def knn_join(
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_planes: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at corpus scale: candidates
+    are pairs sharing an LSH hyperplane bucket (never all-pairs — the
+    bucket key bounds the self-join exactly like minhash banding bounds
+    shingle dedup), verified by exact cosine ≥ threshold. High-cosine
+    near-dups agree on almost every hyperplane sign, so bucket collision
+    is the designed recall path; size 2^n_planes to cluster parallelism."""
+    planes = [hyperplane(seed, j, dim) for j in range(n_planes)]
+    b = df.select(
+        id_col, vec_col, lsh_bucket_expr(F.col(vec_col), planes).alias("__bucket")
+    )
+    a, c = b.alias("a"), b.alias("b")
+    pairs = a.join(
+        c,
+        (F.col("a.__bucket") == F.col("b.__bucket"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.round(
+            cosine(_as_double(F.col(f"a.{vec_col}")), _as_double(F.col(f"b.{vec_col}"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold)
+
+
 def probe_masks(n_planes: int, probe_bits: int) -> list[int]:
     """Multi-probe XOR masks: the zero mask plus every mask with popcount ≤
     probe_bits — probing all buckets within Hamming distance `probe_bits`

@@ -1417,6 +1417,34 @@ def crawl_round_docs(spark, sf_dir):
     return docs.select("doc_id", "url", "host", "fetch_seq", "n_text_spans", "n_media_spans")
 
 
+def _cosine_near_dup_oracle(threshold: float = 0.35, n_planes: int = 4,
+                            seed: int = 7, dim: int = 64) -> str:
+    bucket = _lsh_bucket_sql("ev", n_planes, seed, dim)
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+               FROM embeddings),
+    b AS (SELECT vec_id, ev, {bucket} AS bucket FROM e)
+    SELECT id_a, id_b, cos_sim FROM (
+      SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+             round(list_dot_product(a.ev, bb.ev)
+                   / (sqrt(list_dot_product(a.ev, a.ev))
+                      * sqrt(list_dot_product(bb.ev, bb.ev))), 6) AS cos_sim
+      FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id)
+    WHERE cos_sim >= {threshold}
+    """
+
+
+@q("embedding_near_dup_pairs", _cosine_near_dup_oracle())
+def embedding_near_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup (the last of the brief's dedup family):
+    LSH-bucketed candidate pairs, exact cosine verify. The oracle inlines
+    the plane literals so green means parity of the bucketed operator."""
+    e = t(spark, sf_dir, "embeddings")
+    return SM.cosine_near_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.35, dim=64, n_planes=4
+    )
+
+
 def _ann_lsh_oracle(k: int = 10, n_planes: int = 3, probe_bits: int = 1,
                     seed: int = 7, dim: int = 64) -> str:
     bucket = _lsh_bucket_sql("ev", n_planes, seed, dim)

@@ -104,3 +104,30 @@ def test_knn_join_lsh_pairs_unique_and_ranked(spark, sf_dir):
     for q, sims in per_q.items():
         assert len(sims) <= 5
         assert sims == sorted(sims, reverse=True)
+
+
+def test_cosine_near_dup_recall_on_planted_dups(spark, sf_dir):
+    """Planted near-duplicate vectors (tiny perturbations, cosine ≈ 0.99)
+    must be found by the LSH-bucketed pair scan with high recall — true
+    near-dups agree on almost every hyperplane sign."""
+    from commoncrawlscalatools_spark.operators.similarity import (
+        cosine_near_dup_pairs,
+    )
+
+    base = _embeddings(spark, sf_dir)
+    rows = base.orderBy("vec_id").limit(100).collect()
+    planted = []
+    rng = np.random.default_rng(7)
+    for r in rows:
+        v = np.array(r["embedding"], dtype="float64")
+        noise = 0.02 * rng.standard_normal(v.shape) * np.abs(v).mean()
+        planted.append((10_000 + r["vec_id"], [float(x) for x in v + noise]))
+    dup = spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    corpus = base.select("vec_id", "embedding").unionByName(dup)
+
+    pairs = cosine_near_dup_pairs(corpus, "embedding", "vec_id",
+                                  threshold=0.95, dim=64, n_planes=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(r["vec_id"], 10_000 + r["vec_id"]) for r in rows}
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.9, f"planted near-dup recall = {recall:.2f}"
