@@ -187,3 +187,23 @@ def test_archive_lifecycle_log_messages(parsed_all):
         rows["fragment3.wet.gz"]["file_id"]
         == "CC-MAIN-20161202170900-00009-ip-10-31-129-80.ec2.internal.warc.wet.gz"
     )
+
+
+def test_stream_filter_and_topic_on_real_records(parsed_all):
+    """End-to-end on REAL CommonCrawl text (filter_test_1's 25 conversion
+    records): the two-phase FourForums stream filter + topic categorizer
+    run over actual record content. Regression pin: exactly one record
+    passes the keyword gate and categorizes as 'evolution' (engine pin on
+    real bytes; the reference has no filter-attached count for this file)."""
+    from commoncrawlscalatools_spark.operators.filters import (
+        stream_filter,
+        topic_categorize,
+    )
+
+    conv = conversions_with_info(parsed_all, strict_info=True).filter(
+        F.col("fixture") == "filter_test_1.wet.gz"
+    )
+    kept = stream_filter(conv, text_col="content", minmentions=1)
+    rows = topic_categorize(kept, text_col="content").collect()
+    assert len(rows) == 1
+    assert list(rows[0]["categories"]) == ["evolution"]
