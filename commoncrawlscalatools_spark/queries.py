@@ -947,6 +947,42 @@ def frontier_schedule(spark, sf_dir):
 
 
 @q(
+    "robots_filter_urls",
+    f"""
+    WITH cand AS (
+      SELECT DISTINCT {_CANON_SQL} AS url,
+             'www.' || source || '.example.' ||
+             (CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END)
+                 AS host,
+             '/p/' || doc_id AS path
+      FROM documents)
+    SELECT url FROM cand
+    WHERE NOT (host LIKE '%.com' AND path LIKE '/p/1%')
+    """,
+)
+def robots_filter_urls(spark, sf_dir):
+    """Robots exclusion under the oracle gate (north rule): hosts ending
+    .com disallow the '/p/1' path prefix; the broadcast-join + prefix
+    `exists` must keep exactly the non-blocked canonical URLs."""
+    from commoncrawlscalatools_spark.operators import frontier as FR
+    from commoncrawlscalatools_spark.operators import robots as RB
+
+    urls = _urls_df(spark, sf_dir)
+    cand = FR.canonicalize_seeds(urls.withColumn("priority", F.lit(1.0)))
+    robots = (
+        cand.select("host")
+        .distinct()
+        .filter(F.col("host").endswith(".com"))
+        .select(
+            "host",
+            F.lit(["/p/1"]).alias("disallow_prefixes"),
+            F.lit(1000).cast("long").alias("crawl_delay_ms"),
+        )
+    )
+    return RB.apply_robots(cand, robots).select("url")
+
+
+@q(
     "frontier_retries",
     f"""
     WITH cand AS (
