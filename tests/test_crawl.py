@@ -211,3 +211,29 @@ def test_retry_backoff_and_give_up(spark, store_root):
         if r["state"] == "fetched":
             assert r["retries"] <= cfg.max_retries + 1
             assert r["log_message"].startswith("fetched round")
+
+
+def test_hot_host_salt_spread_balances_fetch(spark):
+    """North rule: salted repartitioning breaks hot-host skew. A frontier
+    where EVERY URL lives on one host must still spread the fetch stage
+    evenly across partitions (politeness output is host-partitioned; the
+    url_hash salt-spread rebalances before the per-URL fetch work)."""
+    from pyspark.sql import functions as F
+
+    n = 4000
+    seeds = spark.createDataFrame(
+        [(f"https://hot.example.com/p/{i}", float(i)) for i in range(n)],
+        ["url", "priority"],
+    )
+    fr = as_frontier_rows(canonicalize_seeds(seeds), 0)
+    sched = schedule_round(fr, None, None, 1, per_host_cap=n)
+    docs = fetch_and_extract(sched, n_hosts=1)
+    sizes = (
+        docs.groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    )
+    counts = [r["count"] for r in sizes]
+    assert sum(counts) == n
+    assert len(counts) > 1, "single-host frontier must not collapse to one task"
+    assert max(counts) <= 3 * (n / len(counts)), f"skewed partitions: {sorted(counts)[-3:]}"
