@@ -21,7 +21,6 @@ the order key for span-sequence equality (FIXTURES.md §1).
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
