@@ -28,6 +28,9 @@ def main() -> None:
     ap.add_argument("--per-host-cap", type=int, default=10)
     ap.add_argument("--budget", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--fail-permille", type=int, default=0,
+                    help="deterministic synthetic fetch-failure rate (retry path)")
+    ap.add_argument("--max-retries", type=int, default=3)
     ap.add_argument("--resume", action="store_true", help="continue from the last committed round (default behavior if state exists)")
     args = ap.parse_args()
 
@@ -41,6 +44,8 @@ def main() -> None:
         per_host_cap=args.per_host_cap,
         budget=args.budget,
         n_hosts=args.hosts,
+        fail_permille=args.fail_permille,
+        max_retries=args.max_retries,
     )
     engine = CrawlEngine(spark, args.state_dir, cfg)
     if engine.latest_round() < 0:
