@@ -1,0 +1,260 @@
+"""Cuckoo-filter URL-seen pre-filter — the north rule's alternative to the
+Bloom filter (operators/seen.py), with two properties Bloom lacks:
+
+  * DELETION: a fingerprint can be removed (e.g. un-seeing URLs whose
+    fetch permanently failed so a later recrawl wave retries them);
+  * better FP rate at the same bits/item for typical loads (~0.84 load,
+    8-bit fingerprints ⇒ ~0.4% FP vs ~1% for a 10-bit/item Bloom).
+
+Same state contract as the Bloom path: one filter per FIXED hash bucket
+(`pmod(url_hash, n_buckets)`), serialized as rows
+(bucket, n_slots, fp_bits, table binary) — checkpointable data,
+independent of executor count; probes ship via one sc.broadcast and run
+as a vectorized numpy pass inside mapInPandas. The exact anti-join stays
+authoritative (false positives never leak into results).
+
+Layout: the classic (2,4)-cuckoo — n_slots buckets of 4 slots, two
+candidate buckets per item (i2 = i1 XOR hash(fingerprint)), 8-bit
+fingerprints, 0 = empty. Insertion uses the standard random-walk eviction
+(bounded kicks); the walk is per-item sequential by nature, so builds run
+as a batched python loop inside applyInPandas over the bucket GROUP — a
+state-build step over the round's NEW URLs only (same incremental
+discipline as seen.merge_bloom), never a per-row UDF in a row path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CUCKOO_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.IntegerType(), False),
+        T.StructField("n_slots", T.LongType(), False),
+        T.StructField("n_items", T.LongType(), False),
+        T.StructField("n_evicted", T.LongType(), False),
+        T.StructField("table", T.BinaryType(), False),
+    ]
+)
+
+SLOTS_PER_BUCKET = 4
+MAX_KICKS = 500
+
+
+def _fingerprints(hashes: np.ndarray) -> np.ndarray:
+    """8-bit nonzero fingerprint from the 64-bit url_hash."""
+    x = hashes.astype(np.uint64)
+    fp = ((x * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(56)).astype(np.uint8)
+    return np.where(fp == 0, np.uint8(1), fp)
+
+
+def _index1(hashes: np.ndarray, n_slots: int) -> np.ndarray:
+    x = hashes.astype(np.uint64)
+    h = (x ^ (x >> np.uint64(33))) * np.uint64(0xC2B2AE3D27D4EB4F)
+    return (h % np.uint64(n_slots)).astype(np.int64)
+
+def _alt_index(i: np.ndarray, fp: np.ndarray, n_slots: int) -> np.ndarray:
+    """i2 = (i XOR hash(fp)) mod n_slots — involutive when n_slots is a
+    power of two (required: alt(alt(i)) == i makes delete/probe symmetric)."""
+    fh = (fp.astype(np.uint64) * np.uint64(0x5BD1E995)) & np.uint64(0xFFFFFFFF)
+    return (i.astype(np.uint64) ^ fh).astype(np.int64) % n_slots
+
+
+def _build_table(hashes: np.ndarray, n_slots: int) -> tuple[np.ndarray, int]:
+    """Sequential random-walk cuckoo insertion (deterministic kicks).
+    Hashes are SORTED first: slot placement depends on insertion order, so
+    a canonical order makes the serialized table — and therefore every
+    false-positive answer — identical at any partitioning/executor count
+    (the same determinism contract as the Bloom bytes)."""
+    hashes = np.sort(hashes)
+    table = np.zeros((n_slots, SLOTS_PER_BUCKET), dtype=np.uint8)
+    fps = _fingerprints(hashes)
+    i1s = _index1(hashes, n_slots)
+    evicted = 0
+    for fp, i1 in zip(fps, i1s):
+        fp = np.uint8(fp)
+        i = int(i1)
+        placed = False
+        # NOTE: duplicates are INSERTED, not coalesced — safe deletion
+        # requires one stored copy per inserted item (two distinct urls can
+        # share a fingerprint+bucket; deleting one must not un-see the other)
+        for idx in (i, int(_alt_index(np.array([i]), np.array([fp]), n_slots)[0])):
+            row = table[idx]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                placed = True
+                break
+        if placed:
+            continue
+        # random-walk eviction, deterministic: kick slot k = kick_count % 4
+        cur_fp, cur_i = fp, i
+        for kick in range(MAX_KICKS):
+            slot = kick % SLOTS_PER_BUCKET
+            cur_fp, table[cur_i, slot] = table[cur_i, slot], cur_fp
+            cur_i = int(_alt_index(np.array([cur_i]), np.array([cur_fp]), n_slots)[0])
+            row = table[cur_i]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur_fp
+                break
+        else:
+            evicted += 1  # table over capacity: drop (probe stays FP-safe
+            # only via the authoritative exact join; track for rebuild)
+    return table, evicted
+
+
+def build_cuckoo(
+    seen: DataFrame,
+    hash_col: str = "url_hash",
+    n_buckets: int = 64,
+    n_slots: int = 1 << 12,
+) -> DataFrame:
+    """One cuckoo filter per fixed hash bucket. n_slots MUST be a power of
+    two (alt-index involution); capacity ≈ 0.84 · n_slots · 4 per bucket."""
+    assert n_slots & (n_slots - 1) == 0, "n_slots must be a power of two"
+
+    def make(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        hashes = pdf[hash_col].to_numpy()
+        table, evicted = _build_table(hashes, n_slots)
+        return pd.DataFrame(
+            {
+                "bucket": [int(key[0])],
+                "n_slots": [n_slots],
+                "n_items": [len(hashes)],
+                "n_evicted": [evicted],
+                "table": [table.tobytes()],
+            }
+        )
+
+    bucketed = seen.select(
+        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.col(hash_col),
+    )
+    return bucketed.groupBy("bucket").applyInPandas(make, CUCKOO_STATE_SCHEMA)
+
+
+def collect_cuckoo(state: DataFrame) -> dict[int, tuple[int, bytes]]:
+    return {
+        int(r["bucket"]): (int(r["n_slots"]), bytes(r["table"]))
+        for r in state.collect()
+    }
+
+
+def cuckoo_maybe_seen(
+    candidates: DataFrame,
+    state,
+    hash_col: str = "url_hash",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Adds `maybe_seen boolean` — same contract as seen.bloom_maybe_seen:
+    False ⇒ definitely unseen, True ⇒ verify exactly. State ships via one
+    broadcast; the probe checks both candidate buckets of each fingerprint
+    in vectorized numpy.
+
+    The no-false-negative guarantee holds iff `n_evicted == 0` everywhere
+    (an over-capacity drop makes its item probe False) — the engine
+    asserts that invariant at build time and resizes+rebuilds otherwise;
+    deletions intentionally create false negatives (that IS un-seeing)."""
+    from pyspark.broadcast import Broadcast
+
+    if isinstance(state, DataFrame):
+        bc = candidates.sparkSession.sparkContext.broadcast(collect_cuckoo(state))
+    elif isinstance(state, Broadcast):
+        bc = state
+    else:
+        bc = candidates.sparkSession.sparkContext.broadcast(dict(state))
+
+    out_schema = T.StructType(
+        candidates.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+
+    def probe(it):
+        st = bc.value
+        for pdf in it:
+            res = pdf.copy()
+            maybe = np.zeros(len(pdf), dtype=bool)
+            if len(pdf) and st:
+                hashes = pdf[hash_col].to_numpy(dtype=np.int64)
+                buckets = hashes % n_buckets
+                for b in np.unique(buckets):
+                    entry = st.get(int(b))
+                    if entry is None:
+                        continue
+                    n_slots, blob = entry
+                    table = np.frombuffer(blob, dtype=np.uint8).reshape(
+                        n_slots, SLOTS_PER_BUCKET
+                    )
+                    idx = np.nonzero(buckets == b)[0]
+                    h = hashes[idx]
+                    fp = _fingerprints(h)
+                    i1 = _index1(h, n_slots)
+                    i2 = _alt_index(i1, fp, n_slots)
+                    hit = (table[i1] == fp[:, None]).any(axis=1) | (
+                        table[i2] == fp[:, None]
+                    ).any(axis=1)
+                    maybe[idx] = hit
+            res["maybe_seen"] = maybe
+            yield res
+
+    return candidates.mapInPandas(probe, out_schema)
+
+
+def delete_from_cuckoo(
+    state: DataFrame,
+    removals: DataFrame,
+    hash_col: str = "url_hash",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Remove fingerprints (the operation Bloom cannot do): per bucket,
+    clear ONE matching slot per removed hash across its two candidate
+    buckets. Distributed per-bucket applyInPandas over state ∪ removals."""
+    rem = removals.select(
+        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.col(hash_col).alias("__h"),
+    )
+
+    def apply_removals(key: tuple, srow: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if srow.empty:  # removals for a bucket with no filter: nothing to do
+            return pd.DataFrame(
+                {"bucket": pd.array([], dtype="int32"),
+                 "n_slots": pd.array([], dtype="int64"),
+                 "n_items": pd.array([], dtype="int64"),
+                 "n_evicted": pd.array([], dtype="int64"),
+                 "table": pd.array([], dtype=object)}
+            )
+        n_slots = int(srow["n_slots"].iloc[0])
+        table = np.frombuffer(srow["table"].iloc[0], dtype=np.uint8).reshape(
+            n_slots, SLOTS_PER_BUCKET
+        ).copy()
+        removed = 0
+        hs = rpdf["__h"].to_numpy() if len(rpdf) else np.array([], dtype=np.int64)
+        if len(hs):
+            fps = _fingerprints(hs)
+            i1s = _index1(hs, n_slots)
+            i2s = _alt_index(i1s, fps, n_slots)
+            for fp, i1, i2 in zip(fps, i1s, i2s):
+                for idx in (int(i1), int(i2)):
+                    slots = np.nonzero(table[idx] == fp)[0]
+                    if len(slots):
+                        table[idx, slots[0]] = 0
+                        removed += 1
+                        break
+        return pd.DataFrame(
+            {
+                "bucket": [int(key[0])],
+                "n_slots": [n_slots],
+                "n_items": [int(srow["n_items"].iloc[0]) - removed],
+                "n_evicted": [int(srow["n_evicted"].iloc[0])],
+                "table": [table.tobytes()],
+            }
+        )
+
+    return (
+        state.groupBy("bucket")
+        .cogroup(rem.groupBy("bucket"))
+        .applyInPandas(apply_removals, CUCKOO_STATE_SCHEMA)
+    )

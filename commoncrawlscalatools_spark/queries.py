@@ -1289,6 +1289,22 @@ def sessionize_stateful_stream(spark, sf_dir):
     return sessionize_stateful_streaming(spark, d, gap_minutes=30)
 
 
+@q("cuckoo_seen_state", None)
+def cuckoo_seen_state(spark, sf_dir):
+    """North rule 'Bloom/cuckoo URL-seen': the cuckoo variant's state table
+    (per-bucket slot tables; supports DELETION, which Bloom cannot).
+    Rows-only — slot layout is binary state; the filter contract (no false
+    negatives below capacity, exact-join equivalence, deterministic at any
+    partitioning, delete semantics) is pinned in tests/test_cuckoo.py."""
+    from commoncrawlscalatools_spark.operators.cuckoo import build_cuckoo
+
+    urls = _urls_df(spark, sf_dir)
+    seen = urls.select(F.xxhash64(F.col("url")).alias("url_hash")).distinct()
+    return build_cuckoo(seen, n_buckets=8, n_slots=1 << 9).select(
+        "bucket", "n_slots", "n_items", "n_evicted", F.md5(F.col("table")).alias("table_md5")
+    ).orderBy("bucket")
+
+
 @q("wet_fixture_records", None)
 def wet_fixture_records(spark, sf_dir):
     """S1+S2 end-to-end on the reference's REAL golden .wet.gz bytes

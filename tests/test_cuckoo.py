@@ -1,0 +1,83 @@
+"""Cuckoo URL-seen pre-filter: no false negatives below capacity, deletion
+(the operation Bloom can't do), FP-rate sanity, and drop-in equivalence
+with the exact anti-join."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from commoncrawlscalatools_spark.operators.cuckoo import (
+    build_cuckoo,
+    collect_cuckoo,
+    cuckoo_maybe_seen,
+    delete_from_cuckoo,
+)
+
+
+def _hashes_df(spark, lo, hi, salt=0):
+    return spark.range(lo, hi).select(
+        F.xxhash64(F.col("id"), F.lit(salt)).alias("url_hash")
+    )
+
+
+def test_cuckoo_no_false_negatives_below_capacity(spark):
+    seen = _hashes_df(spark, 0, 5000)
+    state = build_cuckoo(seen, n_buckets=8, n_slots=1 << 9)  # cap ≈ 8·512·4·0.84
+    rows = state.collect()
+    assert sum(r["n_evicted"] for r in rows) == 0, "under capacity, no evictions"
+    flagged = cuckoo_maybe_seen(seen, state, n_buckets=8)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_false_positive_rate_sane(spark):
+    seen = _hashes_df(spark, 0, 5000)
+    state = collect_cuckoo(build_cuckoo(seen, n_buckets=8, n_slots=1 << 9))
+    fresh = _hashes_df(spark, 0, 20000, salt=99)  # disjoint hash universe
+    flagged = cuckoo_maybe_seen(fresh, state, n_buckets=8)
+    fp = flagged.filter(F.col("maybe_seen")).count() / 20000
+    # (2,4)-cuckoo with 8-bit fingerprints: theoretical ~2·4/256 ≈ 3.1%
+    assert fp < 0.05, f"fp rate {fp:.4f}"
+
+
+def test_cuckoo_delete_unsees(spark):
+    seen = _hashes_df(spark, 0, 2000)
+    state = build_cuckoo(seen, n_buckets=4, n_slots=1 << 9)
+    victims = seen.limit(300)
+    after = delete_from_cuckoo(state, victims, n_buckets=4)
+    flagged = cuckoo_maybe_seen(victims, after, n_buckets=4)
+    # deleted fingerprints must no longer probe positive (modulo shared
+    # fingerprints with the 1700 survivors — allow a small FP residue)
+    still = flagged.filter(F.col("maybe_seen")).count()
+    assert still <= 300 * 0.05, f"{still} of 300 deleted urls still probe seen"
+    # survivors keep probing positive (no collateral false negatives)
+    survivors = seen.join(victims, "url_hash", "left_anti")
+    ok = cuckoo_maybe_seen(survivors, after, n_buckets=4)
+    assert ok.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_prefilter_equivalent_to_exact_join(spark):
+    """Pre-filter + exact verify must output the identical unseen set as
+    the plain anti-join (the Bloom contract, held by the cuckoo too)."""
+    seen = _hashes_df(spark, 0, 3000)
+    cand = _hashes_df(spark, 1500, 6000)
+    exact = {r[0] for r in cand.join(seen, "url_hash", "left_anti").collect()}
+    state = collect_cuckoo(build_cuckoo(seen, n_buckets=8, n_slots=1 << 9))
+    flagged = cuckoo_maybe_seen(cand, state, n_buckets=8)
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    verify = (
+        flagged.filter(F.col("maybe_seen"))
+        .drop("maybe_seen")
+        .join(seen, "url_hash", "left_anti")
+    )
+    got = {r[0] for r in definitely_new.unionByName(verify).collect()}
+    assert got == exact
+
+
+def test_cuckoo_determinism_across_partitionings(spark):
+    seen = _hashes_df(spark, 0, 4000)
+    a = collect_cuckoo(build_cuckoo(seen.repartition(1), n_buckets=4, n_slots=1 << 9))
+    b = collect_cuckoo(build_cuckoo(seen.repartition(16), n_buckets=4, n_slots=1 << 9))
+    # identical membership behavior at any parallelism: same probe answers
+    probes = _hashes_df(spark, 0, 8000)
+    fa = cuckoo_maybe_seen(probes, a, n_buckets=4).orderBy("url_hash").collect()
+    fb = cuckoo_maybe_seen(probes, b, n_buckets=4).orderBy("url_hash").collect()
+    assert [tuple(r) for r in fa] == [tuple(r) for r in fb]
