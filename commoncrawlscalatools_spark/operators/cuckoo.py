@@ -69,8 +69,13 @@ def _build_table(hashes: np.ndarray, n_slots: int) -> tuple[np.ndarray, int]:
     a canonical order makes the serialized table — and therefore every
     false-positive answer — identical at any partitioning/executor count
     (the same determinism contract as the Bloom bytes)."""
-    hashes = np.sort(hashes)
     table = np.zeros((n_slots, SLOTS_PER_BUCKET), dtype=np.uint8)
+    return _insert_all(table, np.sort(hashes), n_slots)
+
+
+def _insert_all(
+    table: np.ndarray, hashes: np.ndarray, n_slots: int
+) -> tuple[np.ndarray, int]:
     fps = _fingerprints(hashes)
     i1s = _index1(hashes, n_slots)
     evicted = 0
@@ -201,6 +206,53 @@ def cuckoo_maybe_seen(
             yield res
 
     return candidates.mapInPandas(probe, out_schema)
+
+
+def insert_into_cuckoo(
+    state: DataFrame,
+    additions: DataFrame,
+    hash_col: str = "url_hash",
+    n_buckets: int = 64,
+    n_slots: int = 1 << 12,
+) -> DataFrame:
+    """Incremental maintenance (the cuckoo analog of seen.merge_bloom):
+    insert the round's NEW url hashes into the stored per-bucket tables —
+    O(new URLs + table bytes) per round. Buckets with no prior state get a
+    fresh table. New hashes are sorted before insertion so the resulting
+    bytes stay deterministic at any partitioning."""
+    add = additions.select(
+        F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket"),
+        F.col(hash_col).alias("__h"),
+    )
+
+    def apply_inserts(key: tuple, srow: pd.DataFrame, apdf: pd.DataFrame) -> pd.DataFrame:
+        hs = apdf["__h"].to_numpy() if len(apdf) else np.array([], dtype=np.int64)
+        if srow.empty:
+            table, evicted = _build_table(hs, n_slots)
+            return pd.DataFrame(
+                {"bucket": [int(key[0])], "n_slots": [n_slots],
+                 "n_items": [len(hs)], "n_evicted": [evicted],
+                 "table": [table.tobytes()]}
+            )
+        slots = int(srow["n_slots"].iloc[0])
+        table = np.frombuffer(srow["table"].iloc[0], dtype=np.uint8).reshape(
+            slots, SLOTS_PER_BUCKET
+        ).copy()
+        evicted = int(srow["n_evicted"].iloc[0])
+        if len(hs):
+            table, ev2 = _insert_all(table, np.sort(hs), slots)
+            evicted += ev2
+        return pd.DataFrame(
+            {"bucket": [int(key[0])], "n_slots": [slots],
+             "n_items": [int(srow["n_items"].iloc[0]) + len(hs)],
+             "n_evicted": [evicted], "table": [table.tobytes()]}
+        )
+
+    return (
+        state.groupBy("bucket")
+        .cogroup(add.groupBy("bucket"))
+        .applyInPandas(apply_inserts, CUCKOO_STATE_SCHEMA)
+    )
 
 
 def delete_from_cuckoo(

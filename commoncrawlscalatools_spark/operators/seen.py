@@ -208,20 +208,25 @@ def filter_unseen(
     hash_col: str = "url_hash",
     bloom_state=None,
     n_buckets: int = 64,
+    maybe_seen_fn=None,
 ) -> DataFrame:
-    """Verified-unseen candidates. With a Bloom state the exact anti-join
+    """Verified-unseen candidates. With a pre-filter the exact anti-join
     runs only over the maybe-seen slice; the final set is identical either
-    way (FP-independent).
+    way (FP-independent). The probe is the Bloom one by default;
+    `maybe_seen_fn(candidates) -> flagged` plugs in an alternative
+    (operators/cuckoo.py) with the same `maybe_seen` contract.
 
-    The flagged probe output is persisted so the mapInPandas pass executes
-    once for both branches; the handle is exposed as `result._bloom_flagged`
+    The flagged probe output is persisted so the probe pass executes once
+    for both branches; the handle is exposed as `result._bloom_flagged`
     so a long-running caller (the crawl loop) can unpersist it after the
     round commits."""
-    if bloom_state is None:
+    if bloom_state is None and maybe_seen_fn is None:
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
-    flagged = bloom_maybe_seen(candidates, bloom_state, hash_col, n_buckets).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    flagged = (
+        maybe_seen_fn(candidates)
+        if maybe_seen_fn is not None
+        else bloom_maybe_seen(candidates, bloom_state, hash_col, n_buckets)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = needs_check.join(seen.select(hash_col), hash_col, "left_anti")

@@ -66,7 +66,13 @@ class CrawlConfig:
     n_hosts: int = 1000
     bloom_buckets: int = 64
     bloom_bits: int = 1 << 19  # fixed per-bucket geometry ⇒ mergeable deltas
-    use_bloom: bool = True
+    use_bloom: bool = True  # deprecated alias: False ⇒ seen_filter="none"
+    # URL-seen pre-filter flavor (north rule: "Bloom/cuckoo"):
+    #   "bloom"  — OR-mergeable bit array (default)
+    #   "cuckoo" — (2,4)-cuckoo tables; lower FP at same bits, deletable
+    #   "none"   — exact anti-join only
+    seen_filter: str = "bloom"
+    cuckoo_slots: int = 1 << 12
     shuffle_partitions: int | None = None
     doc_coalesce: int | None = None  # coalesce docs before write (small rounds)
     # W6 slow-kill (reference: ParserTooSlowException + min-throughput kill,
@@ -95,13 +101,27 @@ class CrawlEngine:
         frontier0 = FR.as_frontier_rows(cand, round_no=0)
         seen0 = frontier0.select("url_hash", F.lit(0).cast("int").alias("round_added"))
         self.store.write("seen", seen0, 0)
-        if cfg.use_bloom:
+        filt = self._filter_kind()
+        if filt == "bloom":
             self.store.write(
                 "bloom",
                 SN.build_bloom(
                     self.store.read("seen", 0),
                     n_buckets=cfg.bloom_buckets,
                     n_bits=cfg.bloom_bits,
+                ),
+                0,
+                coalesce=4,
+            )
+        elif filt == "cuckoo":
+            from commoncrawlscalatools_spark.operators import cuckoo as CK
+
+            self.store.write(
+                "cuckoo",
+                CK.build_cuckoo(
+                    self.store.read("seen", 0),
+                    n_buckets=cfg.bloom_buckets,
+                    n_slots=cfg.cuckoo_slots,
                 ),
                 0,
                 coalesce=4,
@@ -120,6 +140,11 @@ class CrawlEngine:
         # (Iceberg partition-spec stand-in; at 10^10 URLs the pending slice
         # is the small hot set, the fetched log is cold).
         self.store.write("frontier", frontier0, 0, partition_by=["state"])
+
+    def _filter_kind(self) -> str:
+        if not self.config.use_bloom:
+            return "none"
+        return self.config.seen_filter
 
     def latest_round(self) -> int:
         v = self.store.latest_version("frontier")
@@ -186,13 +211,24 @@ class CrawlEngine:
         outlinks = docs.select(F.explode("outlinks").alias("url"))
         cand = FR.canonicalize_seeds(outlinks.withColumn("priority", F.lit(0.5)))
         cand = RB.apply_robots(cand, robots)
+        filt = self._filter_kind()
         bloom_bc = None
         bloom_prev = None
-        if cfg.use_bloom:
+        cuckoo_prev = None
+        maybe_seen_fn = None
+        if filt == "bloom":
             bloom_prev = self.store.read("bloom", round_no - 1)
             bloom_bc = self.spark.sparkContext.broadcast(SN.collect_bloom(bloom_prev))
+        elif filt == "cuckoo":
+            from commoncrawlscalatools_spark.operators import cuckoo as CK
+
+            cuckoo_prev = self.store.read("cuckoo", round_no - 1)
+            bloom_bc = self.spark.sparkContext.broadcast(CK.collect_cuckoo(cuckoo_prev))
+            ck_bc, n_b = bloom_bc, cfg.bloom_buckets
+            maybe_seen_fn = lambda c: CK.cuckoo_maybe_seen(c, ck_bc, n_buckets=n_b)  # noqa: E731
         new_urls = SN.filter_unseen(
-            cand, seen, bloom_state=bloom_bc, n_buckets=cfg.bloom_buckets
+            cand, seen, bloom_state=bloom_bc if filt == "bloom" else None,
+            n_buckets=cfg.bloom_buckets, maybe_seen_fn=maybe_seen_fn,
         )
         flagged_cache = getattr(new_urls, "_bloom_flagged", None)
         new_frontier_rows = FR.as_frontier_rows(new_urls, round_no).persist()
@@ -207,9 +243,9 @@ class CrawlEngine:
         self.store.write("seen", seen_next, round_no)
         n_new = int(obs_new.get["n_new"] or 0)
 
-        # incremental Bloom: delta over THIS round's new URLs only, OR-merged
-        # into the stored bytes — per-round cost independent of |seen|
-        if cfg.use_bloom:
+        # incremental filter maintenance: delta over THIS round's new URLs
+        # only — per-round cost independent of |seen|
+        if filt == "bloom":
             delta = SN.build_bloom(
                 new_frontier_rows.select("url_hash"),
                 n_buckets=cfg.bloom_buckets,
@@ -217,6 +253,20 @@ class CrawlEngine:
             )
             self.store.write(
                 "bloom", SN.merge_bloom(bloom_prev, delta), round_no, coalesce=4
+            )
+        elif filt == "cuckoo":
+            from commoncrawlscalatools_spark.operators import cuckoo as CK
+
+            self.store.write(
+                "cuckoo",
+                CK.insert_into_cuckoo(
+                    cuckoo_prev,
+                    new_frontier_rows.select("url_hash"),
+                    n_buckets=cfg.bloom_buckets,
+                    n_slots=cfg.cuckoo_slots,
+                ),
+                round_no,
+                coalesce=4,
             )
 
         # host_state upsert: scheduled hosts advance, others keep prev value

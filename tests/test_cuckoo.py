@@ -81,3 +81,46 @@ def test_cuckoo_determinism_across_partitionings(spark):
     fa = cuckoo_maybe_seen(probes, a, n_buckets=4).orderBy("url_hash").collect()
     fb = cuckoo_maybe_seen(probes, b, n_buckets=4).orderBy("url_hash").collect()
     assert [tuple(r) for r in fa] == [tuple(r) for r in fb]
+
+
+def test_cuckoo_incremental_insert_equals_fresh_build_membership(spark):
+    """insert_into_cuckoo over a delta must answer membership identically
+    to a fresh build over the union (layouts may differ; answers for TRUE
+    members may not: zero false negatives both ways)."""
+    from commoncrawlscalatools_spark.operators.cuckoo import insert_into_cuckoo
+
+    first = _hashes_df(spark, 0, 2000)
+    delta = _hashes_df(spark, 2000, 3000)
+    union = _hashes_df(spark, 0, 3000)
+    state0 = build_cuckoo(first, n_buckets=8, n_slots=1 << 9)
+    state1 = insert_into_cuckoo(state0, delta, n_buckets=8, n_slots=1 << 9)
+    rows = {r["bucket"]: r for r in state1.collect()}
+    assert sum(r["n_evicted"] for r in rows.values()) == 0
+    assert sum(r["n_items"] for r in rows.values()) == 3000
+    flagged = cuckoo_maybe_seen(union, state1, n_buckets=8)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_crawl_engine_with_cuckoo_filter(spark, tmp_path):
+    """Full crawl rounds with seen_filter='cuckoo': same invariants as the
+    Bloom path (seen == frontier hashes, resume, incremental maintenance —
+    n_items grows by exactly the round's new URLs)."""
+    from commoncrawlscalatools_spark.operators.robots import generate_robots
+    from commoncrawlscalatools_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from commoncrawlscalatools_spark.sources.seeds import generate_seeds
+
+    root = str(tmp_path / "ckstate")
+    cfg = CrawlConfig(per_host_cap=5, n_hosts=15, seen_filter="cuckoo",
+                      bloom_buckets=8, cuckoo_slots=1 << 9, doc_coalesce=2)
+    eng = CrawlEngine(spark, root, cfg)
+    eng.bootstrap(generate_seeds(spark, 250, seed=7, n_hosts=15),
+                  generate_robots(spark, 15, seed=7))
+    metrics = eng.run(2)
+    assert [m["round"] for m in metrics] == [1, 2]
+    for r in range(0, 3):
+        ck = eng.store.read("cuckoo", r)
+        n_items = sum(row["n_items"] for row in ck.select("n_items").collect())
+        assert n_items == eng.store.read("seen", r).count()
+    seen = {x[0] for x in eng.store.read("seen", 2).select("url_hash").collect()}
+    fr = {x[0] for x in eng.store.read("frontier", 2).select("url_hash").collect()}
+    assert seen == fr
