@@ -17,7 +17,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array columns. With `dim` known the sum unrolls
+    into `dim` element_at terms — whole-stage-codegen'd, left-associated
+    (same fold order as the HOF, so values are bit-identical). Without it,
+    the aggregate/zip_with HOF fallback runs interpreted per element —
+    fine for one-off expressions, NOT for a re-rank over millions of
+    candidate pairs."""
+    if dim is not None:
+        out = F.lit(0.0)
+        for i in range(1, dim + 1):
+            out = out + F.element_at(a, i) * F.element_at(b, i)
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -25,12 +36,18 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        out = F.lit(0.0)
+        for i in range(1, dim + 1):
+            e = F.element_at(a, i)
+            out = out + e * e
+        return F.sqrt(out)
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
 def _as_double(col: Column) -> Column:
@@ -50,7 +67,7 @@ def cosine_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(_as_double(F.col(vec_col)), q), 6).alias("cos_sim"),
+        F.round(cosine(_as_double(F.col(vec_col)), q, dim=len(query_vec)), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
@@ -72,9 +89,9 @@ def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     bucket = F.lit(0)
     for j, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
-        bucket = bucket + F.when(dot(_as_double(vec), p) >= 0, F.lit(1 << j)).otherwise(
-            F.lit(0)
-        )
+        bucket = bucket + F.when(
+            dot(_as_double(vec), p, dim=len(plane)) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
     return bucket
 
 
@@ -115,6 +132,7 @@ def knn_join(
     left_id: str,
     right_id: str,
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """EXACT k nearest right-rows per left-row: brute force, O(|L|·|R|).
     This is the small-|L| baseline (a handful of query vectors broadcast
@@ -128,7 +146,9 @@ def knn_join(
     scored = j.select(
         F.col(left_id),
         F.col(right_id),
-        F.round(cosine(_as_double(F.col(left_vec)), _as_double(F.col(right_vec))), 6).alias("cos_sim"),
+        F.round(
+            cosine(_as_double(F.col(left_vec)), _as_double(F.col(right_vec)), dim), 6
+        ).alias("cos_sim"),
     )
     w = W.partitionBy(left_id).orderBy(F.desc("cos_sim"), F.col(right_id))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
@@ -162,7 +182,9 @@ def cosine_near_dup_pairs(
         F.col(f"a.{id_col}").alias("id_a"),
         F.col(f"b.{id_col}").alias("id_b"),
         F.round(
-            cosine(_as_double(F.col(f"a.{vec_col}")), _as_double(F.col(f"b.{vec_col}"))),
+            cosine(
+                _as_double(F.col(f"a.{vec_col}")), _as_double(F.col(f"b.{vec_col}")), dim
+            ),
             6,
         ).alias("cos_sim"),
     )
@@ -264,7 +286,7 @@ def knn_join_lsh(
         F.col(left_id),
         F.col(right_id),
         F.round(
-            cosine(_as_double(F.col(left_vec)), _as_double(F.col(right_vec))), 6
+            cosine(_as_double(F.col(left_vec)), _as_double(F.col(right_vec)), dim), 6
         ).alias("cos_sim"),
     )
     w = W.partitionBy(left_id).orderBy(F.desc("cos_sim"), F.col(right_id))
