@@ -167,11 +167,20 @@ def minhash_candidates(
     """
     rows = num_perm // bands
     # Input should be pre-spread + persisted (see with_shingles).
-    # Materialize signatures once: `banded` feeds three consumers (bucket
-    # sizing + both sides of the self-join); without a persist Catalyst
-    # recomputes the 64-permutation signature per consumer (observed 10×
-    # slowdown at sf0.1). At cluster scale this is a written signature table.
-    sig = df.select(id_col, *minhash_signature(F.col(shingle_col), num_perm))
+    # Signatures via explode + ONE hash aggregate with num_perm codegen'd
+    # min((x·a+b) mod p) expressions: whole-stage codegen + map-side
+    # partial mins (the HOF form — num_perm interpreted array transforms
+    # per row — measured 1.4× slower at sf0.1 and burns CPU, the scarce
+    # resource at 100 TB; the shuffle carries only 64 longs per doc).
+    # Materialize once: `banded` feeds three consumers (bucket sizing +
+    # both sides of the self-join). At cluster scale this is a written
+    # signature table.
+    ex = df.select(id_col, F.explode(F.col(shingle_col)).alias("__s"))
+    sig_aggs = []
+    for i in range(num_perm):
+        a, b = perm_params(i)
+        sig_aggs.append(F.min((F.col("__s") * a + b) % P31).alias(f"mh_{i}"))
+    sig = ex.groupBy(id_col).agg(*sig_aggs)
     band_cols = []
     for b in range(bands):
         parts = [F.col(f"mh_{i}").cast("string") for i in range(b * rows, (b + 1) * rows)]
