@@ -47,3 +47,41 @@ def test_round_identical_across_partitionings(spark):
     assert a[0] == b[0], "crawl order equality"
     assert a[1] == b[1], "span-sequence equality"
     assert a[2] == b[2], "URL-seen set equality"
+
+
+def test_store_backed_rounds_identical_across_shuffle_settings(spark, tmp_path):
+    """The FULL engine (snapshot commits included) must converge to
+    identical state at different shuffle-partition settings: same frontier
+    rows, same seen set, same document span sequences — and byte-identical
+    Bloom state (fixed bucketing makes the filter bytes parallelism-free)."""
+    from commoncrawlscalatools_spark.operators.robots import generate_robots
+    from commoncrawlscalatools_spark.operators.seen import collect_bloom
+    from commoncrawlscalatools_spark.plans.crawl import CrawlConfig, CrawlEngine
+
+    def run(parts, root):
+        cfg = CrawlConfig(per_host_cap=5, n_hosts=20, bloom_buckets=8,
+                          bloom_bits=1 << 15, shuffle_partitions=parts,
+                          doc_coalesce=2)
+        eng = CrawlEngine(spark, str(root), cfg)
+        eng.bootstrap(generate_seeds(spark, 300, seed=31, n_hosts=20),
+                      generate_robots(spark, 20, seed=31))
+        eng.run(2)
+        seen = sorted(r[0] for r in eng.store.read("seen", 2).select("url_hash").collect())
+        frontier = sorted(
+            tuple(r) for r in eng.store.read("frontier", 2)
+            .select("url", "url_hash", "host", "state", "retries").collect()
+        )
+        docs = sorted(
+            (r["doc_id"], tuple((s["kind"], s["text"], s["media_ref"], s["offset"])
+                                for s in r["spans"]))
+            for r in eng.store.read("documents", 2).select("doc_id", "spans").collect()
+        )
+        bloom = collect_bloom(eng.store.read("bloom", 2))
+        return seen, frontier, docs, bloom
+
+    a = run(3, tmp_path / "a")
+    b = run(16, tmp_path / "b")
+    assert a[0] == b[0], "URL-seen set equality"
+    assert a[1] == b[1], "frontier state equality"
+    assert a[2] == b[2], "document span-sequence equality"
+    assert a[3] == b[3], "byte-identical Bloom state"
