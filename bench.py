@@ -45,6 +45,8 @@ HEADLINE = [
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_lsh_topk_bucketed",
     "knn_join_lsh_topk",
     "doc_fingerprints",
     "sessionize_events",

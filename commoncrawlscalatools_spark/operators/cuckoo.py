@@ -42,6 +42,7 @@ CUCKOO_STATE_SCHEMA = T.StructType(
 
 SLOTS_PER_BUCKET = 4
 MAX_KICKS = 500
+MAX_AUTOSIZE_DOUBLINGS = 8
 
 
 def _fingerprints(hashes: np.ndarray) -> np.ndarray:
@@ -112,6 +113,24 @@ def _insert_all(
     return table, evicted
 
 
+def _build_table_autosized(hashes: np.ndarray, n_slots: int) -> tuple[np.ndarray, int]:
+    """Build with the ZERO-EVICTION guarantee: the builder has the full
+    hash set in hand, so an over-capacity bucket doubles n_slots and
+    rebuilds (bounded doublings) instead of silently dropping fingerprints
+    — a dropped fingerprint would make cuckoo_maybe_seen return False for
+    a SEEN url (false negative), breaking the URL-seen invariant.
+    Returns (table, n_slots_used)."""
+    for _ in range(MAX_AUTOSIZE_DOUBLINGS + 1):
+        table, evicted = _build_table(hashes, n_slots)
+        if evicted == 0:
+            return table, n_slots
+        n_slots *= 2
+    raise RuntimeError(
+        f"cuckoo bucket cannot absorb {len(hashes)} hashes even at "
+        f"n_slots={n_slots} ({MAX_AUTOSIZE_DOUBLINGS} doublings)"
+    )
+
+
 def build_cuckoo(
     seen: DataFrame,
     hash_col: str = "url_hash",
@@ -119,18 +138,22 @@ def build_cuckoo(
     n_slots: int = 1 << 12,
 ) -> DataFrame:
     """One cuckoo filter per fixed hash bucket. n_slots MUST be a power of
-    two (alt-index involution); capacity ≈ 0.84 · n_slots · 4 per bucket."""
+    two (alt-index involution); capacity ≈ 0.84 · n_slots · 4 per bucket.
+    `n_slots` is the STARTING geometry: any bucket that cannot absorb its
+    hashes doubles and rebuilds until zero evictions (n_evicted is always
+    0 in the output — the eviction-free invariant holds by construction;
+    per-bucket n_slots records the geometry actually used)."""
     assert n_slots & (n_slots - 1) == 0, "n_slots must be a power of two"
 
     def make(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         hashes = pdf[hash_col].to_numpy()
-        table, evicted = _build_table(hashes, n_slots)
+        table, slots_used = _build_table_autosized(hashes, n_slots)
         return pd.DataFrame(
             {
                 "bucket": [int(key[0])],
-                "n_slots": [n_slots],
+                "n_slots": [slots_used],
                 "n_items": [len(hashes)],
-                "n_evicted": [evicted],
+                "n_evicted": [0],
                 "table": [table.tobytes()],
             }
         )
@@ -161,9 +184,13 @@ def cuckoo_maybe_seen(
     in vectorized numpy.
 
     The no-false-negative guarantee holds iff `n_evicted == 0` everywhere
-    (an over-capacity drop makes its item probe False) — the engine
-    asserts that invariant at build time and resizes+rebuilds otherwise;
-    deletions intentionally create false negatives (that IS un-seeing)."""
+    (an over-capacity drop makes its item probe False). The invariant is
+    enforced twice: build_cuckoo/fresh-bucket inserts autosize until zero
+    evictions, and CrawlEngine.run_round checks sum(n_evicted) after every
+    incremental insert and rebuilds the filter from the authoritative seen
+    table at doubled geometry when any bucket overflowed (the count is
+    surfaced in round metrics as `cuckoo_evicted`/`cuckoo_rebuilt`).
+    Deletions intentionally create false negatives (that IS un-seeing)."""
     from pyspark.broadcast import Broadcast
 
     if isinstance(state, DataFrame):
@@ -218,8 +245,13 @@ def insert_into_cuckoo(
     """Incremental maintenance (the cuckoo analog of seen.merge_bloom):
     insert the round's NEW url hashes into the stored per-bucket tables —
     O(new URLs + table bytes) per round. Buckets with no prior state get a
-    fresh table. New hashes are sorted before insertion so the resulting
-    bytes stay deterministic at any partitioning."""
+    fresh autosized table (zero evictions by construction). Existing
+    buckets CANNOT resize locally (the full hash set isn't in hand), so an
+    over-capacity insert surfaces as n_evicted > 0 in the state row — the
+    caller MUST check it and rebuild from the authoritative seen table
+    (CrawlEngine does, at doubled geometry). New hashes are sorted before
+    insertion so the resulting bytes stay deterministic at any
+    partitioning."""
     add = additions.select(
         F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket"),
         F.col(hash_col).alias("__h"),
@@ -228,10 +260,10 @@ def insert_into_cuckoo(
     def apply_inserts(key: tuple, srow: pd.DataFrame, apdf: pd.DataFrame) -> pd.DataFrame:
         hs = apdf["__h"].to_numpy() if len(apdf) else np.array([], dtype=np.int64)
         if srow.empty:
-            table, evicted = _build_table(hs, n_slots)
+            table, slots_used = _build_table_autosized(hs, n_slots)
             return pd.DataFrame(
-                {"bucket": [int(key[0])], "n_slots": [n_slots],
-                 "n_items": [len(hs)], "n_evicted": [evicted],
+                {"bucket": [int(key[0])], "n_slots": [slots_used],
+                 "n_items": [len(hs)], "n_evicted": [0],
                  "table": [table.tobytes()]}
             )
         slots = int(srow["n_slots"].iloc[0])
@@ -263,7 +295,15 @@ def delete_from_cuckoo(
 ) -> DataFrame:
     """Remove fingerprints (the operation Bloom cannot do): per bucket,
     clear ONE matching slot per removed hash across its two candidate
-    buckets. Distributed per-bucket applyInPandas over state ∪ removals."""
+    buckets. Distributed per-bucket applyInPandas over state ∪ removals.
+
+    PRECONDITION (standard cuckoo-filter deletion contract): every removed
+    hash MUST have been inserted and not already removed. Deleting an
+    absent hash whose fingerprint collides in a candidate bucket clears a
+    DIFFERENT url's stored copy — an unintended false negative for a
+    still-seen URL. Callers should anti-join removals against the seen
+    table first (the crawl engine only ever deletes hashes it committed);
+    tests/test_cuckoo.py pins the collision case."""
     rem = removals.select(
         F.pmod(F.col(hash_col), F.lit(n_buckets)).cast("int").alias("bucket"),
         F.col(hash_col).alias("__h"),

@@ -222,19 +222,22 @@ def jaccard_pairs(
     shingle_col: str = "shingles",
     id_col: str = "doc_id",
     threshold: float = 0.0,
-    max_df: int = 1000,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for all pairs sharing ≥1 shingle.
     Standard explode→join-on-shingle→count plan: the join key is the
     shingle so only overlapping docs ever meet; sizes come from a narrow
     pre-aggregation, not a second scan.
 
-    `max_df` drops shingles whose document frequency exceeds the cap BEFORE
-    the self-join (standard df-cap; mirrors minhash_candidates'
-    `max_bucket`). Without it a single boilerplate shingle shared by d docs
-    fans out O(d²) pairs on one join key — the quadratic hot-key pathology.
-    Denominators stay full-set, so capped pairs get a (slightly)
-    underestimated Jaccard rather than a blown-up join."""
+    `max_df` (opt-in; default None = exact) drops shingles whose document
+    frequency exceeds the cap BEFORE the self-join (standard df-cap;
+    mirrors minhash_candidates' `max_bucket`). Without a cap a single
+    boilerplate shingle shared by d docs fans out O(d²) pairs on one join
+    key — the quadratic hot-key pathology — so corpus-scale callers
+    (ngram_jaccard_pairs passes 1000) should always set it. Under a cap the
+    result is APPROXIMATE: denominators stay full-set, so capped pairs get
+    an underestimated Jaccard and true above-threshold pairs whose overlap
+    is mostly hot shingles can drop out."""
     # persist the shingle projection: it feeds sizes + both join sides, and
     # upstream shingling is the expensive part (would be recomputed 3×)
     base = _spread(df.select(

@@ -195,3 +195,72 @@ def stream_filter(
     text = F.col(text_col)
     phase1 = mention_count(text, keywords) >= minmentions
     return df.filter(phase1).filter(detail_check_expr(text, keywords, max_chunks))
+
+
+# ----- filter stats side-output (W7 depth) -----------------------------------
+
+
+def stream_filter_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    keywords: list[str] = STREAM_KEYWORDS,
+    minmentions: int = 1,
+    max_chunks: int = MAX_CHUNKS_TO_CHECK,
+) -> DataFrame:
+    """Per-batch aggregated stream-filter stats side-output. The reference
+    wrote one async Cassandra row PER RECORD with (accepted,
+    rejected_detail, rejected_no_detail, processing_time)
+    (StreamFilterStatsWriter.scala:12-68); at 100 TB a per-record RPC per
+    document is the anti-pattern, so the same measurements ride one
+    aggregation in the same pass shape as stream_filter: one output row
+    per outcome with the doc count and total keyword mentions. `accepted`
+    here reconciles exactly with stream_filter's survivor count (pinned in
+    tests/test_filters.py)."""
+    text = F.col(text_col)
+    mentions = mention_count(text, keywords)
+    outcome = (
+        F.when(mentions < minmentions, F.lit("rejected_no_detail"))
+        .when(~detail_check_expr(text, keywords, max_chunks), F.lit("rejected_detail"))
+        .otherwise(F.lit("accepted"))
+    )
+    return (
+        df.select(outcome.alias("outcome"), mentions.alias("__m"))
+        .groupBy("outcome")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("__m").cast("long")).alias("total_mentions"),
+        )
+    )
+
+
+def topic_filter_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    config: TopicFilterConfig | None = None,
+) -> DataFrame:
+    """Per-batch aggregated topic-filter stats: one row per category with
+    docs checked, docs accepted, and total core/secondary mention counts
+    (TopicFilterStatsWriter parity, aggregated instead of per-record).
+    The per-category structs are built BEFORE the explode so the regexp
+    counting runs once per (doc, category), then tiny structs shuffle."""
+    config = config or TopicFilterConfig()
+    text = F.col(text_col)
+    counts = category_counts(text, config)
+    structs = []
+    for cat, (core, sec) in counts.items():
+        mc, ms = config.thresholds(cat)
+        structs.append(
+            F.struct(
+                F.lit(cat).alias("category"),
+                core.alias("core"),
+                sec.alias("secondary"),
+                ((core >= mc) & (sec >= ms)).alias("accepted"),
+            )
+        )
+    ex = df.select(F.explode(F.array(*structs)).alias("s"))
+    return ex.groupBy(F.col("s.category").alias("category")).agg(
+        F.count(F.lit(1)).alias("checked"),
+        F.sum(F.col("s.accepted").cast("long")).alias("accepted"),
+        F.sum(F.col("s.core").cast("long")).alias("total_core_mentions"),
+        F.sum(F.col("s.secondary").cast("long")).alias("total_secondary_mentions"),
+    )

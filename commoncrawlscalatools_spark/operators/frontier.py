@@ -145,20 +145,48 @@ def advance_host_state(scheduled: DataFrame) -> DataFrame:
     )
 
 
+# Typed failure classes with the reference's per-exception retry budgets
+# (ProcessWETPaths.scala:111-191): name -> (max_retries, priority backoff
+# factor). max_retries counts RE-attempts after the first failure — a URL
+# whose failures all land in one class is attempted at most 1 + max_retries
+# times. The backoff factor is the priority-space analog of the reference's
+# linear sleep (retry_ms * (retries+1)): smaller factor = longer effective
+# delay before the scheduler picks the URL again.
+#   socket — java.net.SocketException (:112-130): "once we fail twice we
+#            never seem to succeed" — no retry.
+#   dns    — java.net.UnknownHostException (:131-150): "try harder" — 10.
+#   slow   — ParserTooSlowException (:151-169): one more try.
+#   http   — java.io.IOException / HTTP 503 (:170-191): 8 retries.
+FAILURE_CLASSES: dict[str, tuple[int, float]] = {
+    "socket": (0, 0.5),
+    "dns": (10, 0.9),
+    "slow": (1, 0.5),
+    "http": (8, 0.75),
+}
+_CLASS_NAMES = ["socket", "dns", "slow", "http"]
+
+
 def fetch_outcome(scheduled: DataFrame, round_no: int, fail_permille: int = 0) -> DataFrame:
-    """Adds `fetch_failed boolean` — the sandbox's deterministic stand-in
-    for HTTP fetch errors (reference: typed failure handling + requeue in
+    """Adds `fetch_failed boolean` and `fail_class string` (null on
+    success) — the sandbox's deterministic stand-in for HTTP fetch errors
+    (reference: typed failure handling + requeue in
     ProcessWETPaths.scala:111-191). A URL fails iff an md5-derived permille
     of (url, round) is below `fail_permille`; the round in the key means a
     retry in a later round can succeed — exactly the transient-error model.
-    md5 (not xxhash64) so a DuckDB oracle can reproduce the predicate."""
+    The failure CLASS comes from an independent bit slice of the same hash
+    ((fh >> 10) mod 4), so class mix is uniform and reproducible. md5 (not
+    xxhash64) so a DuckDB oracle can reproduce both predicates."""
     fh = F.conv(
         F.substring(F.md5(F.concat_ws(":", F.col("url"), F.lit(str(round_no)))), 1, 8),
         16,
         10,
     ).cast("long")
-    return scheduled.withColumn(
-        "fetch_failed", F.pmod(fh, F.lit(1000)) < F.lit(int(fail_permille))
+    failed = F.pmod(fh, F.lit(1000)) < F.lit(int(fail_permille))
+    cls = F.element_at(
+        F.lit(_CLASS_NAMES), (F.pmod(F.shiftright(fh, 10), F.lit(4)) + 1).cast("int")
+    )
+    return scheduled.withColumn("fetch_failed", failed).withColumn(
+        "fail_class", F.when(failed, cls)
     )
 
 
@@ -170,33 +198,60 @@ def apply_fetch_results(
     backoff: float = 0.5,
 ) -> DataFrame:
     """Frontier state transitions from a round's fetch outcomes (reference:
-    ProcessWETPaths.scala:111-191 — failed paths requeue with a retry count,
-    capped). One broadcast-or-shuffle join on url_hash, no driver loop;
-    under Iceberg this is a single MERGE INTO.
+    ProcessWETPaths.scala:111-191 — failed paths requeue with a typed,
+    per-exception-class retry budget). One broadcast-or-shuffle join on
+    url_hash, no driver loop; under Iceberg this is a single MERGE INTO.
 
-      success        → state=fetched, log
-      failure, n<cap → state=pending, retries+1, priority·backoff, log
-      failure, n≥cap → state=failed, log
+    Retry accounting: the `retries` column counts FAILED ATTEMPTS; the cap
+    counts RE-attempts after the first failure, so a URL is attempted at
+    most 1 + cap times and the give-up log reports cap (= failures - 1)
+    retries. When `outcome` carries a `fail_class` column (fetch_outcome
+    emits one), the cap and backoff come from FAILURE_CLASSES per row;
+    `max_retries`/`backoff` are the fallback for untyped outcomes.
+
+      success              → state=fetched, log
+      failure, r2 ≤ cap    → state=pending, retries+1, priority·backoff, log
+      failure, r2 > cap    → state=failed, log (gave up after r2-1 retries)
     """
-    o = outcome.select("url_hash", "fetch_failed")
+    typed = "fail_class" in outcome.columns
+    cols = ["url_hash", "fetch_failed"] + (["fail_class"] if typed else [])
+    o = outcome.select(*cols)
     j = frontier.join(o, "url_hash", "left")
     ok = F.col("fetch_failed") == F.lit(False)
     bad = F.col("fetch_failed") == F.lit(True)
     r2 = F.when(bad, F.col("retries") + 1).otherwise(F.col("retries"))
+    if typed:
+        cap = F.lit(max_retries)
+        bo = F.lit(backoff)
+        for name, (class_cap, class_backoff) in FAILURE_CLASSES.items():
+            cap = F.when(F.col("fail_class") == name, F.lit(class_cap)).otherwise(cap)
+            bo = F.when(F.col("fail_class") == name, F.lit(class_backoff)).otherwise(bo)
+        cls_str = F.coalesce(F.col("fail_class"), F.lit("error"))
+    else:
+        cap = F.lit(max_retries)
+        bo = F.lit(backoff)
+        cls_str = F.lit("error")
     state2 = (
         F.when(ok, F.lit("fetched"))
-        .when(bad & (r2 <= max_retries), F.lit("pending"))
+        .when(bad & (r2 <= cap), F.lit("pending"))
         .when(bad, F.lit("failed"))
         .otherwise(F.col("state"))
     )
-    prio2 = F.when(bad, F.col("priority") * F.lit(backoff)).otherwise(F.col("priority"))
+    prio2 = F.when(bad, F.col("priority") * bo).otherwise(F.col("priority"))
     log2 = (
         F.when(ok, F.concat(F.lit(f"fetched round {round_no}")))
         .when(
-            bad & (r2 <= max_retries),
-            F.format_string(f"fetch failed round {round_no} (retry %d)", r2),
+            bad & (r2 <= cap),
+            F.format_string(
+                f"fetch failed round {round_no} (%s failure %d, retrying)", cls_str, r2
+            ),
         )
-        .when(bad, F.format_string(f"gave up round {round_no} after %d retries", r2))
+        .when(
+            bad,
+            F.format_string(
+                f"gave up round {round_no} (%s) after %d retries", cls_str, r2 - 1
+            ),
+        )
         .otherwise(F.col("log_message"))
     )
     return j.select(

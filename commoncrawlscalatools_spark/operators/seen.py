@@ -18,16 +18,18 @@ Scale shape (10^10 URLs):
     broadcast on a real cluster), captured by the probe closure — never as
     a join column, which would replicate the per-bucket byte blob into the
     Arrow exchange once per candidate row (terabytes at design scale).
-  * The probe output is persisted by `filter_unseen` so the single
+  * The probe output is persisted by `filter_unseen_flagged` so the single
     mapInPandas pass feeds both the definitely-new branch and the
-    exact-verify branch.
+    exact-verify branch (the caller unpersists the returned handle).
   * Maintenance is INCREMENTAL: rounds build a small delta filter from the
     round's new URLs only (`build_bloom(..., n_bits=fixed)`) and
     `merge_bloom` ORs it into the stored per-bucket bytes. Fixed bucketing
     + fixed per-bucket geometry guarantee mergeability; saturation only
-    raises the FP rate (never a false negative), and `n_items` is tracked
-    per bucket so an operator can trigger a full rebuild when
-    n_items * bits_per_item outgrows n_bits.
+    raises the FP rate (never a false negative). `n_items` is tracked per
+    bucket and CrawlEngine.run_round checks n_items · bits_per_item >
+    n_bits after every merge, rebuilding from the seen table at a larger
+    fixed geometry (sized for the worst bucket) when any bucket saturates
+    — surfaced in round metrics as `seen_filter_rebuilt`.
   * The exact anti-join is a shuffle on an 8-byte key over only the
     maybe-seen slice of the candidate set (bounded per round).
 """
@@ -202,6 +204,33 @@ def bloom_maybe_seen(
     return candidates.mapInPandas(probe, out_schema)
 
 
+def filter_unseen_flagged(
+    candidates: DataFrame,
+    seen: DataFrame,
+    hash_col: str = "url_hash",
+    bloom_state=None,
+    n_buckets: int = 64,
+    maybe_seen_fn=None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Engine-internal variant of `filter_unseen`: returns
+    (verified_unseen, flagged_handle). The flagged probe output is
+    persisted so the single probe pass feeds both the definitely-new and
+    the exact-verify branch; the CALLER owns `flagged_handle.unpersist()`
+    once the result is materialized (the crawl loop does this after the
+    round commits). `flagged_handle` is None when no pre-filter is used."""
+    if bloom_state is None and maybe_seen_fn is None:
+        return candidates.join(seen.select(hash_col), hash_col, "left_anti"), None
+    flagged = (
+        maybe_seen_fn(candidates)
+        if maybe_seen_fn is not None
+        else bloom_maybe_seen(candidates, bloom_state, hash_col, n_buckets)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+    verified_new = needs_check.join(seen.select(hash_col), hash_col, "left_anti")
+    return definitely_new.unionByName(verified_new), flagged
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
@@ -216,20 +245,19 @@ def filter_unseen(
     `maybe_seen_fn(candidates) -> flagged` plugs in an alternative
     (operators/cuckoo.py) with the same `maybe_seen` contract.
 
-    The flagged probe output is persisted so the probe pass executes once
-    for both branches; the handle is exposed as `result._bloom_flagged`
-    so a long-running caller (the crawl loop) can unpersist it after the
-    round commits."""
+    Library-safe: leaves NO cache behind (the probe may execute once per
+    branch). Long-running callers that want the probe pass shared and
+    cached should use `filter_unseen_flagged` and unpersist the returned
+    handle themselves — attaching hidden persisted state to the returned
+    DataFrame would leak a cache per call."""
     if bloom_state is None and maybe_seen_fn is None:
         return candidates.join(seen.select(hash_col), hash_col, "left_anti")
     flagged = (
         maybe_seen_fn(candidates)
         if maybe_seen_fn is not None
         else bloom_maybe_seen(candidates, bloom_state, hash_col, n_buckets)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     needs_check = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
     verified_new = needs_check.join(seen.select(hash_col), hash_col, "left_anti")
-    out = definitely_new.unionByName(verified_new)
-    out._bloom_flagged = flagged
-    return out
+    return definitely_new.unionByName(verified_new)

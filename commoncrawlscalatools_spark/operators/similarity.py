@@ -13,7 +13,9 @@ bucket-join shape; hyperplane LSH avoids an iterative training job.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -63,11 +65,22 @@ def cosine_topk(
 ) -> DataFrame:
     """Brute-force exact top-k by cosine similarity to a literal query
     vector. orderBy+limit compiles to TakeOrderedAndProject (per-partition
-    top-k then a k-row merge on the driver — no global sort)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    top-k then a k-row merge on the driver — no global sort).
+
+    Expression choice (BENCH r1→r2 regression chase): a ONE-OFF scan keeps
+    the HOF dot/norm — the dim-unrolled form pays ~1 s of Janino codegen
+    compile that dominates a single-query pass at any scan size where the
+    driver overhead matters, while the interpreted HOF streams fine. The
+    query norm is a Python-side constant (left-assoc sum, bit-identical to
+    the unrolled Spark fold). Joins/re-ranks that evaluate cosine over
+    millions of candidate pairs amortize the compile and use dim= unrolls
+    (knn_join_lsh)."""
+    q = F.lit([float(x) for x in query_vec])
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    av = _as_double(F.col(vec_col))
     scored = df.select(
         F.col(id_col),
-        F.round(cosine(_as_double(F.col(vec_col)), q, dim=len(query_vec)), 6).alias("cos_sim"),
+        F.round(dot(av, q) / (l2_norm(av) * F.lit(qn)), 6).alias("cos_sim"),
     )
     return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
 
@@ -107,10 +120,12 @@ def lsh_cosine_topk(
 ) -> DataFrame:
     """ANN: restrict exact scoring to the query's LSH bucket plus its
     multi-probe neighbors (all buckets within Hamming distance
-    `probe_bits` — removes the single-probe recall cliff). At 100 TB the
-    bucket column is precomputed+partitioned at write time, so a query
-    scans len(probe_masks) partitions (partition pruning) instead of the
-    full table."""
+    `probe_bits` — removes the single-probe recall cliff). This variant
+    computes the bucket column per query over the full table — the
+    correctness baseline; the 100 TB query path is
+    write_bucketed_embeddings + lsh_cosine_topk_bucketed below, where the
+    bucket is precomputed and hive/Iceberg-partitioned at write time so a
+    query scans only len(probe_masks) partitions (partition pruning)."""
     dim = len(query_vec)
     planes = [hyperplane(seed, j, dim) for j in range(n_planes)]
     q_bucket = 0
@@ -122,6 +137,59 @@ def lsh_cosine_topk(
     return cosine_topk(
         bucketed.filter(F.col("bucket").isin(probes)), query_vec, vec_col, id_col, k
     )
+
+
+def write_bucketed_embeddings(
+    df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 4,
+    seed: int = 7,
+    dim: int = 64,
+) -> None:
+    """Write-time ANN index build: compute the LSH bucket column ONCE and
+    persist the table hive-partitioned by it (Iceberg partition-spec
+    stand-in, same discipline as the frontier's state partitioning). This
+    is the reference's pattern of building a search structure at corpus
+    write time — its Lucene index (createCorpus.scala:286-287) — recast as
+    partition layout: an ANN query then reads only its probe partitions
+    (PartitionFilters in the scan, evidenced in PLANS.md §ANN) instead of
+    scanning and hashing the full table per query. One pass over the data;
+    the bucket expression is the same deterministic hyperplane formula the
+    per-query variant uses, so results are identical."""
+    planes = [hyperplane(seed, j, dim) for j in range(n_planes)]
+    bucketed = df.select(
+        id_col, vec_col, lsh_bucket_expr(F.col(vec_col), planes).alias("bucket")
+    )
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def lsh_cosine_topk_bucketed(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_planes: int = 4,
+    probe_bits: int = 1,
+    seed: int = 7,
+) -> DataFrame:
+    """ANN query over a write_bucketed_embeddings table: compute the
+    query's probe bucket set driver-side (tiny), filter on the PARTITION
+    column, exact-cosine top-k inside the surviving partitions. The bucket
+    filter prunes at the file level — at 10^10 rows the scan touches
+    len(probes)/2^n_planes of the data."""
+    dim = len(query_vec)
+    planes = [hyperplane(seed, j, dim) for j in range(n_planes)]
+    q_bucket = 0
+    for j, plane in enumerate(planes):
+        if sum(float(a) * float(b) for a, b in zip(query_vec, plane)) >= 0:
+            q_bucket |= 1 << j
+    probes = [q_bucket ^ m for m in probe_masks(n_planes, probe_bits)]
+    df = spark.read.parquet(path).filter(F.col("bucket").isin(probes))
+    return cosine_topk(df, query_vec, vec_col, id_col, k)
 
 
 def knn_join(

@@ -32,9 +32,15 @@ Per-round cost discipline (raw scaling efficiency):
   * The probe ships filter bytes via one sc.broadcast (torrent on a real
     cluster), never as a join column.
   * Synthetic fetch failures (deterministic, md5-keyed on url+round) drive
-    the reference's typed retry path: failed URLs requeue with retries+1
-    and backoff priority until max_retries, then park as `failed`
-    (ProcessWETPaths.scala:111-191).
+    the reference's typed retry path: each failure carries a CLASS
+    (socket/dns/slow/http, hash-derived) whose per-class retry budget and
+    backoff mirror the reference's per-exception guards
+    (ProcessWETPaths.scala:111-191, operators.frontier.FAILURE_CLASSES);
+    a URL requeues with retries+1 until its class budget runs out, then
+    parks as `failed`.
+  * Independent small state tables (filter stats, lineage, host_state)
+    commit CONCURRENTLY on driver threads and join before the frontier
+    marker — fixed per-round overhead overlaps instead of serializing.
 
 Scale notes: within a round the only wide operations are (1) the host
 window in scheduling, (2) the seen anti-join on url_hash over the
@@ -46,7 +52,9 @@ commit) is amortized by round size — see bench/scaling.py.
 
 from __future__ import annotations
 
+import math
 import time
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -57,6 +65,12 @@ from commoncrawlscalatools_spark.operators import robots as RB
 from commoncrawlscalatools_spark.operators import seen as SN
 from commoncrawlscalatools_spark.plans.state import SnapshotStore
 from commoncrawlscalatools_spark.sources import fetch as FE
+
+# Driver-side pool for concurrent snapshot commits of independent small
+# state tables within a round (Spark job submission is thread-safe; each
+# table has its own manifest file, so the atomic-publish protocol is
+# per-table and race-free). Sized for the three side tables.
+_COMMIT_POOL = ThreadPoolExecutor(max_workers=4, thread_name_prefix="crawl-commit")
 
 
 @dataclass
@@ -73,6 +87,9 @@ class CrawlConfig:
     #   "none"   — exact anti-join only
     seen_filter: str = "bloom"
     cuckoo_slots: int = 1 << 12
+    # saturation threshold: rebuild the Bloom filter at doubled geometry
+    # when any bucket's n_items * bits_per_item outgrows its n_bits
+    bloom_bits_per_item: int = 10
     shuffle_partitions: int | None = None
     doc_coalesce: int | None = None  # coalesce docs before write (small rounds)
     # W6 slow-kill (reference: ParserTooSlowException + min-throughput kill,
@@ -81,9 +98,16 @@ class CrawlConfig:
     # resume retries from the completed round.
     min_docs_per_s: float | None = None
     # typed retry path (ProcessWETPaths.scala:111-191): deterministic
-    # synthetic failure rate in permille; 0 disables.
+    # synthetic failure rate in permille; 0 disables. Per-failure-class
+    # budgets come from operators.frontier.FAILURE_CLASSES; max_retries is
+    # the fallback for untyped outcomes.
     fail_permille: int = 0
     max_retries: int = 3
+    # W7 depth: per-round aggregated stream/topic filter stats tables
+    # (StreamFilterStatsWriter parity — aggregated side-output, not a
+    # per-record RPC). Off by default: it costs one regexp pass over the
+    # round's document text.
+    collect_filter_stats: bool = False
 
 
 class CrawlEngine:
@@ -199,13 +223,74 @@ class CrawlEngine:
         n_failed_fetches = int(svals["n_failed_fetches"] or 0)
         docs = self.store.read("documents", round_no)  # re-read: one fetch pass
 
+        # Fixed per-round commit overhead is the small-round scaling killer
+        # (BENCH r2: store-backed rounds ran at ~1/3 the in-memory rate).
+        # The small side tables (filter stats, lineage, host_state) are
+        # independent of the seen → filter-maintenance chain, so their
+        # writes run CONCURRENTLY on driver threads (Spark schedules jobs
+        # from multiple threads); every future joins BEFORE the frontier
+        # marker commit, so the all-or-nothing round protocol is unchanged.
+        side_commits: list = []
+
+        # W7 depth: per-round filter stats side-output — one regexp pass
+        # over the round's text, aggregated to a handful of rows per table
+        # (reference wrote one async Cassandra row per record:
+        # StreamFilterStatsWriter.scala:12-68)
+        filter_stats_wall_ms = [0]
+        if cfg.collect_filter_stats:
+            from commoncrawlscalatools_spark.operators import filters as FL
+            from commoncrawlscalatools_spark.sources.fetch import doc_text
+
+            txt = doc_text(docs)
+
+            def _write_filter_stats():
+                t_fs = time.time()
+                self.store.write(
+                    "stream_filter_stats",
+                    FL.stream_filter_stats(txt).withColumn("round", F.lit(round_no)),
+                    round_no,
+                    coalesce=1,
+                )
+                self.store.write(
+                    "topic_filter_stats",
+                    FL.topic_filter_stats(txt).withColumn("round", F.lit(round_no)),
+                    round_no,
+                    coalesce=1,
+                )
+                filter_stats_wall_ms[0] = int((time.time() - t_fs) * 1000)
+
+            side_commits.append(_COMMIT_POOL.submit(_write_filter_stats))
+
         # per-partition lineage (reference W5 triggers → rows, not RPC)
         lineage = (
             docs.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(F.count("*").alias("docs"), F.sum(F.size("outlinks")).alias("outlinks"))
             .withColumn("round", F.lit(round_no))
         )
-        self.store.write("lineage", lineage, round_no, coalesce=1)
+        side_commits.append(
+            _COMMIT_POOL.submit(
+                self.store.write, "lineage", lineage, round_no, coalesce=1
+            )
+        )
+
+        # host_state upsert: scheduled hosts advance, others keep prev value
+        # (independent of the seen chain — committed concurrently too)
+        adv = FR.advance_host_state(outcome)
+        host_state_next = (
+            host_state.withColumnRenamed("host_ready_ms", "prev_ready")
+            .join(adv, "host", "full_outer")
+            .select(
+                "host",
+                F.coalesce(F.col("host_ready_ms"), F.col("prev_ready")).alias(
+                    "host_ready_ms"
+                ),
+            )
+        )
+        side_commits.append(
+            _COMMIT_POOL.submit(
+                self.store.write, "host_state", host_state_next, round_no, coalesce=4
+            )
+        )
 
         # outlink feedback: canonicalize → robots → unseen → new frontier rows
         outlinks = docs.select(F.explode("outlinks").alias("url"))
@@ -226,11 +311,10 @@ class CrawlEngine:
             bloom_bc = self.spark.sparkContext.broadcast(CK.collect_cuckoo(cuckoo_prev))
             ck_bc, n_b = bloom_bc, cfg.bloom_buckets
             maybe_seen_fn = lambda c: CK.cuckoo_maybe_seen(c, ck_bc, n_buckets=n_b)  # noqa: E731
-        new_urls = SN.filter_unseen(
+        new_urls, flagged_cache = SN.filter_unseen_flagged(
             cand, seen, bloom_state=bloom_bc if filt == "bloom" else None,
             n_buckets=cfg.bloom_buckets, maybe_seen_fn=maybe_seen_fn,
         )
-        flagged_cache = getattr(new_urls, "_bloom_flagged", None)
         new_frontier_rows = FR.as_frontier_rows(new_urls, round_no).persist()
 
         # seen commit carries the new-URL count as an Observation
@@ -244,16 +328,55 @@ class CrawlEngine:
         n_new = int(obs_new.get["n_new"] or 0)
 
         # incremental filter maintenance: delta over THIS round's new URLs
-        # only — per-round cost independent of |seen|
+        # only — per-round cost independent of |seen|. Both filter kinds
+        # carry a post-write health check against their state rows
+        # (n_buckets tiny rows) that rebuilds from the authoritative seen
+        # table at doubled geometry when the filter outgrows itself:
+        # Bloom saturation only degrades FP rate (pre-filter selectivity),
+        # but a cuckoo eviction is a FALSE NEGATIVE — a seen URL would skip
+        # the exact anti-join — so that check is a correctness guard.
+        filter_evicted = 0
+        filter_rebuilt = False
         if filt == "bloom":
+            # geometry follows the STORED state (fixed across deltas; a
+            # saturation rebuild doubles it and later rounds inherit)
+            cur_bits = max(
+                (g[0] for g in bloom_bc.value.values()), default=cfg.bloom_bits
+            )
             delta = SN.build_bloom(
                 new_frontier_rows.select("url_hash"),
                 n_buckets=cfg.bloom_buckets,
-                n_bits=cfg.bloom_bits,
+                n_bits=cur_bits,
             )
             self.store.write(
                 "bloom", SN.merge_bloom(bloom_prev, delta), round_no, coalesce=4
             )
+            bstate = (
+                self.store.read("bloom", round_no).select("n_bits", "n_items").collect()
+            )
+            if any(
+                r["n_items"] * cfg.bloom_bits_per_item > r["n_bits"] for r in bstate
+            ):
+                # size the new fixed geometry for the CURRENT worst bucket
+                # (next power of two ≥ items·bits_per_item), so one rebuild
+                # restores the target FP rate rather than one doubling per
+                # round chasing a growing seen set
+                worst = max(r["n_items"] for r in bstate)
+                new_bits = max(
+                    cur_bits * 2,
+                    1 << math.ceil(math.log2(max(1, worst * cfg.bloom_bits_per_item))),
+                )
+                self.store.write(
+                    "bloom",
+                    SN.build_bloom(
+                        self.store.read("seen", round_no),
+                        n_buckets=cfg.bloom_buckets,
+                        n_bits=new_bits,
+                    ),
+                    round_no,
+                    coalesce=4,
+                )
+                filter_rebuilt = True
         elif filt == "cuckoo":
             from commoncrawlscalatools_spark.operators import cuckoo as CK
 
@@ -268,20 +391,31 @@ class CrawlEngine:
                 round_no,
                 coalesce=4,
             )
-
-        # host_state upsert: scheduled hosts advance, others keep prev value
-        adv = FR.advance_host_state(outcome)
-        host_state_next = (
-            host_state.withColumnRenamed("host_ready_ms", "prev_ready")
-            .join(adv, "host", "full_outer")
-            .select(
-                "host",
-                F.coalesce(F.col("host_ready_ms"), F.col("prev_ready")).alias(
-                    "host_ready_ms"
-                ),
+            ckstate = (
+                self.store.read("cuckoo", round_no)
+                .select("n_slots", "n_evicted")
+                .collect()
             )
-        )
-        self.store.write("host_state", host_state_next, round_no, coalesce=4)
+            filter_evicted = sum(int(r["n_evicted"]) for r in ckstate)
+            if filter_evicted > 0:
+                self.store.write(
+                    "cuckoo",
+                    CK.build_cuckoo(
+                        self.store.read("seen", round_no),
+                        n_buckets=cfg.bloom_buckets,
+                        n_slots=max(int(r["n_slots"]) for r in ckstate) * 2,
+                    ),
+                    round_no,
+                    coalesce=4,
+                )
+                filter_rebuilt = True
+
+        # barrier: every concurrent side commit must land before the round
+        # can publish its marker (exceptions re-raise here → the round
+        # fails un-marked and the resume re-runs it)
+        for fut in side_commits:
+            fut.result()
+        filter_stats_wall_ms = filter_stats_wall_ms[0]
 
         # frontier transition: fetched / retry / failed, plus the new URLs
         obs_front = Observation(f"front_r{round_no}")
@@ -309,6 +443,9 @@ class CrawlEngine:
             "spans": n_spans,
             "outlinks": n_links,
             "new_urls": n_new,
+            "seen_filter_evicted": filter_evicted,
+            "seen_filter_rebuilt": filter_rebuilt,
+            "filter_stats_wall_ms": filter_stats_wall_ms,
             "wall_s": round(wall, 3),
             "docs_per_s": round(n_docs / wall, 1) if wall > 0 else 0.0,
         }

@@ -313,6 +313,63 @@ def topic_filter_docs(spark, sf_dir):
 
 
 @q(
+    "stream_filter_stats",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             {_sql_count('text', 'join')} + {_sql_count('text', 'scan')} AS mentions,
+             len(
+               list_filter(
+                 string_split(regexp_replace(text, '\\. ', chr(10), 'g'), chr(10)),
+                 c -> len(list_filter(string_split_regex(c, '\\s+'), x -> x <> '')) > 7
+                  AND len(list_filter(string_split_regex(c, '\\s+'), x -> x <> '')) < 50
+                  AND regexp_matches(c, '(?i)(?:join|scan)')
+               )) > 0 AS detail
+      FROM documents)
+    SELECT CASE WHEN mentions < 3 THEN 'rejected_no_detail'
+                WHEN NOT detail THEN 'rejected_detail'
+                ELSE 'accepted' END AS outcome,
+           count(*) AS n_docs,
+           CAST(sum(mentions) AS BIGINT) AS total_mentions
+    FROM m GROUP BY 1
+    """,
+)
+def stream_filter_stats_q(spark, sf_dir):
+    """W7 depth (VERDICT r2 #8): the stream filter's per-batch stats
+    side-output — outcome counts (accepted / rejected_detail /
+    rejected_no_detail, the reference's compact stats columns) + total
+    mentions, aggregated in one pass instead of a per-record async RPC
+    (StreamFilterStatsWriter.scala:12-68)."""
+    d = t(spark, sf_dir, "documents")
+    return FL.stream_filter_stats(d, "text", DOC_STREAM_KEYWORDS, minmentions=3)
+
+
+def _topic_stats_oracle() -> str:
+    cases = []
+    for cat in sorted(DOC_TOPICS.core):
+        core = " + ".join(_sql_count("text", k) for k in DOC_TOPICS.core[cat])
+        sec = " + ".join(_sql_count("text", k) for k in DOC_TOPICS.secondary[cat])
+        mc, ms = DOC_TOPICS.thresholds(cat)
+        cases.append(
+            f"SELECT '{cat}' AS category, count(*) AS checked,"
+            f" CAST(sum(CASE WHEN core_c >= {mc} AND sec_c >= {ms} THEN 1 ELSE 0 END) AS BIGINT) AS accepted,"
+            f" CAST(sum(core_c) AS BIGINT) AS total_core_mentions,"
+            f" CAST(sum(sec_c) AS BIGINT) AS total_secondary_mentions"
+            f" FROM (SELECT {core} AS core_c, {sec} AS sec_c FROM documents)"
+        )
+    return " UNION ALL ".join(cases)
+
+
+@q("topic_filter_stats", _topic_stats_oracle())
+def topic_filter_stats_q(spark, sf_dir):
+    """Per-category topic-filter stats side-output: checked/accepted doc
+    counts + total core/secondary mentions per batch (TopicFilterStats
+    Writer parity, aggregated)."""
+    d = t(spark, sf_dir, "documents")
+    return FL.topic_filter_stats(d, "text", DOC_TOPICS)
+
+
+@q(
     "relevance_topk",
     """
     SELECT doc_id, relevance FROM (
@@ -990,24 +1047,43 @@ def robots_filter_urls(spark, sf_dir):
       FROM documents GROUP BY 1),
     outc AS (
       SELECT url, priority,
-             (CAST(('0x' || substr(md5(url || ':' || '1'), 1, 8)) AS BIGINT)
-              % 1000) < 250 AS failed
-      FROM cand)
+             CAST(('0x' || substr(md5(url || ':' || '1'), 1, 8)) AS BIGINT) AS fh
+      FROM cand),
+    typed AS (
+      SELECT url, priority, (fh % 1000) < 250 AS failed,
+             CASE CAST((fh >> 10) % 4 AS INT)
+                  WHEN 0 THEN 'socket' WHEN 1 THEN 'dns'
+                  WHEN 2 THEN 'slow' ELSE 'http' END AS fc
+      FROM outc),
+    policy AS (
+      SELECT url, priority, failed, fc,
+             CASE fc WHEN 'socket' THEN 0 WHEN 'dns' THEN 10
+                     WHEN 'slow' THEN 1 ELSE 8 END AS cap,
+             CASE fc WHEN 'socket' THEN 0.5 WHEN 'dns' THEN 0.9
+                     WHEN 'slow' THEN 0.5 ELSE 0.75 END AS bo
+      FROM typed)
     SELECT url,
-           CASE WHEN failed THEN 'pending' ELSE 'fetched' END AS state,
+           CASE WHEN NOT failed THEN 'fetched'
+                WHEN 1 <= cap THEN 'pending' ELSE 'failed' END AS state,
            CASE WHEN failed THEN 1 ELSE 0 END AS retries,
-           round(CASE WHEN failed THEN priority * 0.5 ELSE priority END, 6)
+           round(CASE WHEN failed THEN priority * bo ELSE priority END, 6)
                AS priority,
-           CASE WHEN failed THEN 'fetch failed round 1 (retry 1)'
-                ELSE 'fetched round 1' END AS log_message
-    FROM outc
+           CASE WHEN NOT failed THEN 'fetched round 1'
+                WHEN 1 <= cap
+                    THEN 'fetch failed round 1 (' || fc || ' failure 1, retrying)'
+                ELSE 'gave up round 1 (' || fc || ') after 0 retries'
+           END AS log_message
+    FROM policy
     """,
 )
 def frontier_retries(spark, sf_dir):
     """The typed retry path (reference ProcessWETPaths.scala:111-191) as an
-    oracle-checked state transition: deterministic md5-keyed failures →
-    requeue with retries+1 + backoff priority vs fetched. The oracle
-    reproduces the failure predicate bit-for-bit (md5, not xxhash64)."""
+    oracle-checked state transition: deterministic md5-keyed failures with a
+    per-exception-class budget (socket=0/dns=10/slow=1/http=8 re-attempts,
+    mirroring the reference's `retries < N` guards) → requeue with
+    retries+1 + class backoff priority, or park immediately when the class
+    budget is 0 (socket). The oracle reproduces the failure predicate, the
+    class slice ((fh >> 10) mod 4) and every log string bit-for-bit."""
     from commoncrawlscalatools_spark.operators import frontier as FR
 
     urls = _urls_df(spark, sf_dir)
@@ -1532,8 +1608,33 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+@q("ann_lsh_topk_bucketed", _ann_lsh_oracle())
+def ann_lsh_topk_bucketed(spark, sf_dir):
+    """The 100 TB ANN query path (VERDICT r2 #3): the LSH bucket column is
+    precomputed at WRITE time and the table is partitioned by it, so the
+    query filters on the partition column and scans only its probe
+    partitions (PartitionFilters — plan excerpt in PLANS.md §ANN) instead
+    of hashing the full table per query. Same planes/probes as
+    ann_lsh_topk ⇒ same oracle, identical results."""
+    import hashlib
+
+    e = t(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/dev/shm/spark-graft-ann-bucketed-{tag}"
+    SM.write_bucketed_embeddings(e, path, "embedding", "vec_id", n_planes=3)
+    return SM.lsh_cosine_topk_bucketed(
+        spark, path, _query_vec(spark, sf_dir), "embedding", "vec_id",
+        k=10, n_planes=3, probe_bits=1,
+    ).select("vec_id", "cos_sim")
+
+
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    """Registration order, with one adjustment for the driver's gate: every
+    ORACLED entry sorts ahead of rows-only entries (VERDICT r2 #2 — if the
+    driver caps the gated set, the rows-only entries are the ones to
+    yield; relative order within each group is registration order)."""
+    ordered = sorted(QUERIES, key=lambda name: name not in ORACLES)
+    return {name: QUERIES[name] for name in ordered}
 
 
 def all_oracles() -> dict[str, str]:

@@ -360,3 +360,164 @@ def test_find_sentence_end_index_spec_521():
     sentence = '"This is my test quote."'
     tokens = tokenize_line(sentence)
     assert find_sentence_end_index(sentence, tokens) == len(sentence) - 1
+
+
+# ---------------------------------------------------------------------------
+# Helper-level spec cases — the rest of PrepareDocumentSpec.scala (:467-916).
+# With these, every case in the 916-line spec is ported (VERDICT r2 #7).
+# ---------------------------------------------------------------------------
+
+from commoncrawlscalatools_spark.functions.cleaner import (  # noqa: E402
+    _TREEBANK_TO_CHAR,
+    _has_period_next,
+    _has_period_previous,
+    _has_space_or_ending_next,
+    _match_two_characters,
+    _sentence_additional_start_chars,
+    adjust_index_for_additional_characters,
+    is_valid_sentence_ending,
+)
+
+
+@pytest.mark.parametrize(
+    "token,expected",
+    [("''", '"'), ("'", "'"), ("-LRB-", "("), ("-LSB-", "["), ("-LCB-", "{")],
+)
+def test_translate_treebank_token_spec_467(token, expected):
+    # PrepareDocumentSpec:467-489
+    assert _TREEBANK_TO_CHAR[token] == expected
+
+
+@pytest.mark.parametrize(
+    "previous,expected",
+    [
+        (["''", "-LRB-"], '"'),
+        (["-LRB-", "''"], '"('),
+        (["-LRB-", "-LCB-", "''"], "("),
+        (["`", "blah", "blah", "start"], "‘"),
+    ],
+)
+def test_get_sentence_additional_start_characters_spec_517(previous, expected):
+    # PrepareDocumentSpec:517-539 (previous_tokens nearest-first)
+    assert _sentence_additional_start_chars(previous) == expected
+
+
+@pytest.mark.parametrize(
+    "textblock,previous_chars,start_token,expected",
+    [
+        # PrepareDocumentSpec:541-689
+        ("start blah blah ‘Nutrition and hydration will be taken away.’ blah blah",
+         "‘", "Nutrition", 16),
+        ("short", "", "Somethinglong", None),
+        ("Hello World", "", "Hello", 0),
+        ('"Hello World', '"', "Hello", 0),
+        ("“Hello World", "“", "Hello", 0),
+        ("‘Hello World", "‘", "Hello", 0),
+        ("[Hello] World", "[", "Hello", 0),
+        ("[ Hello] World", "[", "Hello", 0),
+        ('"[Hello] World', '"[', "Hello", 0),
+        ('" [ Hello] World', '"[', "Hello", 0),
+        ("junk Hello World", "", "Hello", 5),
+        ("junk [Hello World", "[", "Hello", 5),
+        ("junk {{Hello World", "{{", "Hello", 5),
+        ("junk { { Hello World", "{{", "Hello", 5),
+        ("junk { {   Hello} World}", "{{", "Hello", 5),
+        ('junk "Hello World}', '"', "Hello", 5),
+        ('junk " Hello World}', '"', "Hello", 5),
+    ],
+)
+def test_get_start_index_with_additional_chars_spec_541(
+    textblock, previous_chars, start_token, expected
+):
+    assert (
+        get_start_index_with_additional_chars(textblock, previous_chars, start_token)
+        == expected
+    )
+
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        # PrepareDocumentSpec:694-744 (matchTwoCharacters)
+        ("a", "a", True),
+        ("a", "b", False),
+        ('"', '"', True),
+        ('"', "“", True),
+        ("“", '"', True),
+        ('"', "”", True),
+        ("”", '"', True),
+        ("”", "“", True),
+        ("“", "”", True),
+        ("`", "‘", True),
+        ("‘", "`", True),
+        ("'", "’", True),
+        ("’", "'", True),
+    ],
+)
+def test_match_two_characters_spec_694(a, b, expected):
+    assert _match_two_characters(a, b) is expected
+
+
+def test_adjacent_period_and_space_helpers_spec_748():
+    # PrepareDocumentSpec:748-795
+    assert _has_period_previous("hello..", 6)
+    assert not _has_period_previous("hello-.", 6)
+    assert not _has_period_previous("hello-.", 0)
+    assert _has_period_next("hello..", 5)
+    assert not _has_period_next("hello.-", 5)
+    assert not _has_period_next("hello-.", 6)
+    assert _has_space_or_ending_next("hello-.", 6)
+    assert _has_space_or_ending_next("hello-. World", 6)
+    assert not _has_space_or_ending_next("hello-.-World", 6)
+
+
+def test_adjust_index_for_additional_characters_spec_798():
+    # PrepareDocumentSpec:798-822
+    assert adjust_index_for_additional_characters("“This is my sentence.”", 20) == 21
+    assert adjust_index_for_additional_characters("“This is my (sentence.)”", 21) == 23
+    assert adjust_index_for_additional_characters("“This is my (sentence. ", 21) == 21
+    assert adjust_index_for_additional_characters("“This is my (sentence. ”", 21) == 23
+    assert adjust_index_for_additional_characters("“This is my (sentence. ” )", 21) == 25
+
+
+def _invalid_endings(tokens):
+    # same derivation as find_sentence_end_index (PrepareDocument.scala:363-371)
+    inv = [t for t in tokens if len(t) > 1 and t[-1] == "."]
+    inv.append("Ret.")
+    return inv
+
+
+@pytest.mark.parametrize(
+    "a,i,expected",
+    [
+        # PrepareDocumentSpec:825-900 (isValidSentenceEnding)
+        ("Test Mr.", 7, False),
+        ("Test Ms.", 7, False),
+        ("Test Jr.", 7, False),
+        ("Test Sr.", 7, False),
+        ("Test Sr..", 7, False),
+        ("Test Rev.", 7, False),
+        ("J. R. Tolkin is a writer.", 4, False),
+        ("test", 2, False),
+        ("test?", 4, True),
+        ("test!", 4, True),
+    ],
+)
+def test_is_valid_sentence_ending_spec_825(a, i, expected):
+    tokens = tokenize_line(a)
+    assert is_valid_sentence_ending(a, i, _invalid_endings(tokens)) is expected
+
+
+def test_is_valid_sentence_ending_rejects_single_letter_spec_876():
+    letters = "abcdefghijklmnoprstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ1234567890"
+    for x in letters:
+        a = "Test " + x + "."
+        tokens = tokenize_line("Test ") + [x + "."]
+        assert not is_valid_sentence_ending(a, 6, _invalid_endings(tokens))
+
+
+def test_ends_with_invalid_spec_902():
+    from commoncrawlscalatools_spark.functions.cleaner import _ends_with_invalid
+
+    assert _ends_with_invalid("my sentence etwo", ["eone", "etwo"])
+    assert not _ends_with_invalid("my sentence etwo.", ["eone", "etwo"])

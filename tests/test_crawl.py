@@ -182,8 +182,14 @@ def test_kill_between_commits_rerolls_round_identically(spark, store_root):
 
 def test_retry_backoff_and_give_up(spark, store_root):
     """Deterministic synthetic fetch failures requeue with retries+1 and
-    backoff priority, then park as `failed` past max_retries
-    (reference ProcessWETPaths typed retry path)."""
+    class backoff priority, then park as `failed` past the CLASS retry cap
+    (reference ProcessWETPaths typed retry path, per-exception budgets).
+    Retry accounting invariant (ADVICE r2): the `retries` column counts
+    failed attempts; logs report re-attempts = failures - 1 on give-up."""
+    import re
+
+    from commoncrawlscalatools_spark.operators.frontier import FAILURE_CLASSES
+
     seeds = generate_seeds(spark, 300, seed=5, n_hosts=10)
     robots = generate_robots(spark, 10, seed=5)
     cfg = CrawlConfig(per_host_cap=30, n_hosts=10, use_bloom=False,
@@ -200,17 +206,102 @@ def test_retry_backoff_and_give_up(spark, store_root):
     assert retried, "some URL must have failed and been requeued"
     for r in retried:
         if r["state"] == "failed":
-            # gave up exactly one step past the cap, with the typed log
-            assert r["retries"] == cfg.max_retries + 1
-            assert "gave up" in r["log_message"]
+            m = re.fullmatch(
+                r"gave up round \d+ \((\w+)\) after (\d+) retries", r["log_message"]
+            )
+            assert m, r["log_message"]
+            cls, n = m.group(1), int(m.group(2))
+            # give-up log counts RE-attempts: failures - 1
+            assert n == r["retries"] - 1
+            # parked because the final failure's class budget ran out
+            # (earlier failures may have been laxer classes, so >=)
+            assert n >= FAILURE_CLASSES[cls][0]
         elif r["state"] == "pending":
-            assert r["retries"] <= cfg.max_retries
-            assert "fetch failed" in r["log_message"]
-    # fetched rows never exceed the retry cap
+            m = re.search(
+                r"\((\w+) failure (\d+), retrying\)", r["log_message"]
+            )
+            assert m, r["log_message"]
+            cls, n = m.group(1), int(m.group(2))
+            assert n == r["retries"]
+            # requeued ⇒ still within the class budget
+            assert n <= FAILURE_CLASSES[cls][0]
     for r in rows:
         if r["state"] == "fetched":
-            assert r["retries"] <= cfg.max_retries + 1
             assert r["log_message"].startswith("fetched round")
+
+
+def test_bloom_saturation_rebuild_recovers_fp_rate(spark, store_root):
+    """Saturation trigger: a deliberately tiny fixed geometry saturates
+    within a round (every bit set ⇒ FP rate → 1, pre-filter useless); the
+    engine must detect n_items·bits_per_item > n_bits after the merge and
+    rebuild at a geometry sized for the worst bucket, recovering the FP
+    rate (measured as the maybe_seen fraction of never-seen probe URLs)."""
+    from commoncrawlscalatools_spark.operators.seen import bloom_maybe_seen
+
+    cfg = CrawlConfig(per_host_cap=20, n_hosts=15, seen_filter="bloom",
+                      bloom_buckets=2, bloom_bits=1 << 7, doc_coalesce=2)
+    eng = CrawlEngine(spark, store_root, cfg)
+    eng.bootstrap(generate_seeds(spark, 400, seed=13, n_hosts=15),
+                  generate_robots(spark, 15, seed=13))
+    metrics = eng.run(3)
+    assert any(m["seen_filter_rebuilt"] for m in metrics), "rebuild must fire"
+    probes = spark.range(0, 5000).select(
+        F.xxhash64(F.col("id"), F.lit(123456)).alias("url_hash")
+    )
+    fp_before = (
+        bloom_maybe_seen(probes, eng.store.read("bloom", 0), n_buckets=2)
+        .filter(F.col("maybe_seen")).count() / 5000
+    )
+    last = eng.latest_round()
+    fp_after = (
+        bloom_maybe_seen(probes, eng.store.read("bloom", last), n_buckets=2)
+        .filter(F.col("maybe_seen")).count() / 5000
+    )
+    assert fp_before > 0.5, f"128-bit buckets with ~200 items must saturate ({fp_before})"
+    assert fp_after < 0.1, f"rebuild must recover the FP rate ({fp_after})"
+    rows = eng.store.read("bloom", last).select("n_bits", "n_items").collect()
+    assert all(
+        r["n_items"] * cfg.bloom_bits_per_item <= r["n_bits"] for r in rows
+    ), "committed geometry must satisfy the health invariant"
+
+
+def test_typed_failure_class_give_up_rounds(spark):
+    """Each failure class parks after exactly 1 + class_cap failed attempts
+    (socket: immediately; dns: initial + 10 re-attempts; slow: 1; http: 8),
+    pinned by driving apply_fetch_results with hand-built typed outcomes."""
+    from commoncrawlscalatools_spark.operators.frontier import (
+        FAILURE_CLASSES,
+        apply_fetch_results,
+    )
+
+    classes = list(FAILURE_CLASSES)
+    seeds = spark.createDataFrame(
+        [(f"https://h{i}.example.com/", 1.0) for i in range(len(classes))],
+        ["url", "priority"],
+    )
+    frontier = as_frontier_rows(canonicalize_seeds(seeds), 0)
+    hosts = {r["url"]: r["host"] for r in frontier.collect()}
+    cls_of_host = {hosts[f"https://h{i}.example.com/"]: c for i, c in enumerate(classes)}
+
+    parked_at = {}
+    for attempt in range(1, 13):  # dns (cap 10) parks at attempt 11
+        pending = frontier.filter(F.col("state") == "pending")
+        if pending.count() == 0:
+            break
+        outcome = pending.select(
+            "url_hash",
+            F.lit(True).alias("fetch_failed"),
+            F.udf(lambda h: cls_of_host[h])(F.col("host")).alias("fail_class"),
+        )
+        frontier = apply_fetch_results(frontier, outcome, attempt)
+        for r in frontier.filter(F.col("state") == "failed").collect():
+            cls = cls_of_host[r["host"]]
+            parked_at.setdefault(cls, (attempt, r["retries"], r["log_message"]))
+    for cls, (cap, _bo) in FAILURE_CLASSES.items():
+        attempt, retries, log = parked_at[cls]
+        assert attempt == cap + 1, f"{cls}: parked at attempt {attempt}, cap {cap}"
+        assert retries == cap + 1
+        assert log.endswith(f"({cls}) after {cap} retries")
 
 
 def test_hot_host_salt_spread_balances_fetch(spark):

@@ -101,6 +101,92 @@ def test_cuckoo_incremental_insert_equals_fresh_build_membership(spark):
     assert flagged.filter(~F.col("maybe_seen")).count() == 0
 
 
+def test_cuckoo_build_autosizes_past_capacity(spark):
+    """Eviction guard, build path: a bucket whose hashes exceed the
+    starting geometry doubles n_slots until zero evictions — never a
+    silent fingerprint drop (which would be a false negative)."""
+    seen = _hashes_df(spark, 0, 2000)
+    state = build_cuckoo(seen, n_buckets=1, n_slots=1 << 3)  # start cap ≈ 27
+    rows = state.collect()
+    assert len(rows) == 1
+    assert rows[0]["n_evicted"] == 0
+    assert rows[0]["n_slots"] > (1 << 3), "bucket must have grown"
+    flagged = cuckoo_maybe_seen(seen, state, n_buckets=1)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_engine_rebuilds_on_eviction(spark, tmp_path):
+    """Eviction guard, incremental path: when a round's inserts overflow a
+    stored bucket (n_evicted > 0), CrawlEngine rebuilds the filter from the
+    authoritative seen table at doubled geometry — the URL-seen invariant
+    (zero false negatives) must hold after every committed round."""
+    from commoncrawlscalatools_spark.operators.robots import generate_robots
+    from commoncrawlscalatools_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from commoncrawlscalatools_spark.sources.seeds import generate_seeds
+
+    root = str(tmp_path / "ckevict")
+    cfg = CrawlConfig(per_host_cap=20, n_hosts=15, seen_filter="cuckoo",
+                      bloom_buckets=2, cuckoo_slots=1 << 3, doc_coalesce=2)
+    eng = CrawlEngine(spark, root, cfg)
+    eng.bootstrap(generate_seeds(spark, 400, seed=11, n_hosts=15),
+                  generate_robots(spark, 15, seed=11))
+    metrics = eng.run(2)
+    assert any(m["seen_filter_rebuilt"] for m in metrics), (
+        "tiny starting geometry must trigger at least one eviction rebuild"
+    )
+    assert any(m["seen_filter_evicted"] > 0 for m in metrics)
+    # post-guard state: zero evictions recorded, zero false negatives
+    last = eng.latest_round()
+    ck = eng.store.read("cuckoo", last)
+    assert sum(r["n_evicted"] for r in ck.collect()) == 0
+    seen = eng.store.read("seen", last).select("url_hash")
+    flagged = cuckoo_maybe_seen(seen, ck, n_buckets=cfg.bloom_buckets)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_cuckoo_delete_absent_hash_collision_clears_other_url(spark):
+    """Pins the documented deletion PRECONDITION: deleting a hash that was
+    never inserted, whose fingerprint collides in a candidate bucket,
+    clears a DIFFERENT url's stored copy — a false negative for a
+    still-seen URL. This is why callers must anti-join removals against
+    the seen table first."""
+    import numpy as np
+
+    from commoncrawlscalatools_spark.operators.cuckoo import (
+        _alt_index,
+        _fingerprints,
+        _index1,
+    )
+
+    n_slots = 1 << 6
+    h1 = np.int64(12345)
+    fp1 = _fingerprints(np.array([h1]))[0]
+    i1 = _index1(np.array([h1]), n_slots)[0]
+    h2 = None
+    for cand in range(20000, 400000):
+        c = np.int64(cand)
+        if c == h1:
+            continue
+        if _fingerprints(np.array([c]))[0] != fp1:
+            continue
+        ci1 = _index1(np.array([c]), n_slots)[0]
+        ci2 = _alt_index(np.array([ci1]), np.array([fp1]), n_slots)[0]
+        i2 = _alt_index(np.array([i1]), np.array([fp1]), n_slots)[0]
+        if ci1 in (i1, i2) or ci2 in (i1, i2):
+            h2 = int(c)
+            break
+    assert h2 is not None, "no colliding hash found in search range"
+    seen = spark.createDataFrame([(int(h1),)], ["url_hash"])
+    state = build_cuckoo(seen, n_buckets=1, n_slots=n_slots)
+    # h2 was never inserted — deleting it violates the precondition
+    absent = spark.createDataFrame([(h2,)], ["url_hash"])
+    after = delete_from_cuckoo(state, absent, n_buckets=1)
+    flagged = cuckoo_maybe_seen(seen, after, n_buckets=1)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 1, (
+        "collision delete must clear h1's copy (the documented hazard)"
+    )
+
+
 def test_crawl_engine_with_cuckoo_filter(spark, tmp_path):
     """Full crawl rounds with seen_filter='cuckoo': same invariants as the
     Bloom path (seen == frontier hashes, resume, incremental maintenance —

@@ -129,3 +129,70 @@ def test_category_string_codec_roundtrip(spark):
     ).collect()
     assert enc[0]["e"] == "{'existenceofgod','guncontrol'}"
     assert enc[1]["e"] == "{'abortion'}"
+
+
+def test_filter_stats_reconcile_with_filters(spark, sf_dir):
+    """W7 stats side-output reconciliation: the aggregated stats must agree
+    with the filters themselves — stream `accepted` == stream_filter
+    survivor count (and outcomes partition the corpus); topic `accepted`
+    per category == topic_filter_docs row count per category."""
+    from commoncrawlscalatools_spark.operators.filters import (
+        TopicFilterConfig,
+        stream_filter,
+        stream_filter_stats,
+        topic_categorize,
+        topic_filter_stats,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kws = ["join", "scan"]
+    stats = {
+        r["outcome"]: r["n_docs"]
+        for r in stream_filter_stats(d, "text", kws, minmentions=3).collect()
+    }
+    assert sum(stats.values()) == d.count(), "outcomes must partition the corpus"
+    assert stats.get("accepted", 0) == stream_filter(d, "text", kws, minmentions=3).count()
+
+    cfg = TopicFilterConfig(
+        core={"joins": ["join"], "scans": ["scan"]},
+        secondary={"joins": ["merge", "hash"], "scans": ["table", "filter"]},
+    )
+    tstats = {
+        r["category"]: r["accepted"]
+        for r in topic_filter_stats(d, "text", cfg).collect()
+    }
+    cat_counts = (
+        topic_categorize(d, "text", cfg)
+        .select(F.explode("categories").alias("category"))
+        .groupBy("category")
+        .count()
+        .collect()
+    )
+    got = {r["category"]: r["count"] for r in cat_counts}
+    for cat in cfg.core:
+        assert tstats[cat] == got.get(cat, 0), cat
+
+
+def test_engine_commits_filter_stats_tables(spark, tmp_path):
+    """collect_filter_stats=True commits per-round stream/topic stats
+    tables whose outcome counts sum to the round's doc count."""
+    from commoncrawlscalatools_spark.operators.robots import generate_robots
+    from commoncrawlscalatools_spark.plans.crawl import CrawlConfig, CrawlEngine
+    from commoncrawlscalatools_spark.sources.seeds import generate_seeds
+
+    root = str(tmp_path / "fstats")
+    cfg = CrawlConfig(per_host_cap=10, n_hosts=10, use_bloom=False,
+                      collect_filter_stats=True, doc_coalesce=2)
+    eng = CrawlEngine(spark, root, cfg)
+    eng.bootstrap(generate_seeds(spark, 150, seed=9, n_hosts=10),
+                  generate_robots(spark, 10, seed=9))
+    metrics = eng.run(2)
+    for m in metrics:
+        r = m["round"]
+        s = eng.store.read("stream_filter_stats", r)
+        assert s.filter(F.col("round") != r).count() == 0
+        n = sum(row["n_docs"] for row in s.collect())
+        assert n == m["fetched_docs"]
+        tstat = eng.store.read("topic_filter_stats", r).collect()
+        assert all(row["checked"] == m["fetched_docs"] for row in tstat)
+        assert m["filter_stats_wall_ms"] > 0
