@@ -51,6 +51,55 @@ def search_topk(
     return scored.orderBy(F.desc("relevance"), F.col(id_col)).limit(k)
 
 
+def format_query(query_list: list[str], field_name: str = "content") -> str:
+    """The reference's Lucene query-clause builder, kept byte-compatible as
+    the query EXCHANGE format (DeduplicationHelperMethods.scala:50-57): one
+    `{type: "contains", field: ..., values: [...]}` clause per term, joined
+    with commas for embedding in `{ query: [...] }`
+    (createCorpus.scala:283-287)."""
+    template = '{type: "contains", field: "%s", values: ["%s"]}'
+    return ",".join(template % (field_name, x) for x in query_list)
+
+
+def parse_query(query: str) -> list[tuple[str, str]]:
+    """Inverse of format_query: the clause string → [(field, value), ...].
+    Accepts exactly the shape format_query emits (the reference never
+    parses its own queries — Lucene does — so this is the engine-side
+    equivalent of handing the string to the index)."""
+    import re
+
+    return [
+        (m.group(1), m.group(2))
+        for m in re.finditer(
+            r'\{type: "contains", field: "([^"]+)", values: \["([^"]+)"\]\}', query
+        )
+    ]
+
+
+def multi_field_search_topk(
+    df: DataFrame,
+    query: str | list[tuple[str, str]],
+    id_col: str = "doc_id",
+    k: int = 2000,
+    min_relevance: float = 0.1,
+) -> DataFrame:
+    """Multi-term, multi-FIELD relevance (the reference's actual Lucene
+    query shape: several `contains` clauses under `{ query: [...] }`, each
+    scored independently with the document score their combination —
+    createCorpus.scala:283-287 + formatQuery). Score = sum over clauses of
+    the per-field TF-normalized score; clauses on different columns hit
+    different fields, exactly what the flat term-list operator couldn't
+    express. Accepts the reference's clause string or parsed pairs."""
+    clauses = parse_query(query) if isinstance(query, str) else list(query)
+    score = F.lit(0.0)
+    for field, value in clauses:
+        score = score + relevance_score(F.col(field), [value])
+    scored = df.select(
+        F.col(id_col), F.round(score, 6).alias("relevance")
+    ).filter(F.col("relevance") > min_relevance)
+    return scored.orderBy(F.desc("relevance"), F.col(id_col)).limit(k)
+
+
 def fetch_content_for_topk(
     topk: DataFrame, docs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -196,3 +196,38 @@ def test_engine_commits_filter_stats_tables(spark, tmp_path):
         tstat = eng.store.read("topic_filter_stats", r).collect()
         assert all(row["checked"] == m["fetched_docs"] for row in tstat)
         assert m["filter_stats_wall_ms"] > 0
+
+
+def test_lucene_query_format_roundtrip_and_multi_field_scoring(spark):
+    """format_query emits the reference's byte-exact clause format
+    (DeduplicationHelperMethods.scala:50-57); parse_query inverts it; the
+    multi-field scorer sums per-clause per-field TF scores."""
+    from commoncrawlscalatools_spark.operators.relevance import (
+        format_query,
+        multi_field_search_topk,
+        parse_query,
+    )
+
+    q = format_query(["abortion", "guns"], "content")
+    assert q == (
+        '{type: "contains", field: "content", values: ["abortion"]},'
+        '{type: "contains", field: "content", values: ["guns"]}'
+    )
+    assert parse_query(q) == [("content", "abortion"), ("content", "guns")]
+
+    df = spark.createDataFrame(
+        [
+            (1, "join the merge", "alpha"),
+            (2, "nothing here", "alpha"),
+            (3, "join join join join", "beta"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    qs = format_query(["join"], "text") + "," + format_query(["beta"], "source")
+    rows = {r["doc_id"]: r["relevance"] for r in
+            multi_field_search_topk(df, qs, "doc_id", k=10).collect()}
+    # doc 3: 4 mentions / 4 tokens * 10 = 10.0 text + 10.0 source = 20.0
+    assert rows[3] == 20.0
+    # doc 1: 1/3*10 text, no source hit
+    assert abs(rows[1] - round(10.0 / 3, 6)) < 1e-9
+    assert 2 not in rows
