@@ -124,7 +124,7 @@ class CrawlEngine:
         cand = FR.canonicalize_seeds(seeds)
         frontier0 = FR.as_frontier_rows(cand, round_no=0)
         seen0 = frontier0.select("url_hash", F.lit(0).cast("int").alias("round_added"))
-        self.store.write("seen", seen0, 0)
+        self.store.write("seen", seen0, 0, append=True)
         filt = self._filter_kind()
         if filt == "bloom":
             self.store.write(
@@ -222,6 +222,7 @@ class CrawlEngine:
         n_scheduled = int(svals["n_scheduled"] or 0)
         n_failed_fetches = int(svals["n_failed_fetches"] or 0)
         docs = self.store.read("documents", round_no)  # re-read: one fetch pass
+        t_docs = time.time()
 
         # Fixed per-round commit overhead is the small-round scaling killer
         # (BENCH r2: store-backed rounds ran at ~1/3 the in-memory rate).
@@ -317,15 +318,17 @@ class CrawlEngine:
         )
         new_frontier_rows = FR.as_frontier_rows(new_urls, round_no).persist()
 
-        # seen commit carries the new-URL count as an Observation
+        # seen commit = this round's DELTA only (the table is append-mode:
+        # read() unions published deltas). O(new URLs) write per round —
+        # a full-rewrite union here is O(|seen|) and cannot survive 10^10
+        # URLs. The new-URL count rides the write as an Observation.
         obs_new = Observation(f"new_r{round_no}")
-        seen_next = seen.unionByName(
-            new_frontier_rows.observe(obs_new, F.count(F.lit(1)).alias("n_new")).select(
-                "url_hash", F.lit(round_no).cast("int").alias("round_added")
-            )
-        )
-        self.store.write("seen", seen_next, round_no)
+        seen_delta = new_frontier_rows.observe(
+            obs_new, F.count(F.lit(1)).alias("n_new")
+        ).select("url_hash", F.lit(round_no).cast("int").alias("round_added"))
+        self.store.write("seen", seen_delta, round_no, append=True)
         n_new = int(obs_new.get["n_new"] or 0)
+        t_seen = time.time()
 
         # incremental filter maintenance: delta over THIS round's new URLs
         # only — per-round cost independent of |seen|. Both filter kinds
@@ -410,12 +413,14 @@ class CrawlEngine:
                 )
                 filter_rebuilt = True
 
+        t_filter_maint = time.time()
         # barrier: every concurrent side commit must land before the round
         # can publish its marker (exceptions re-raise here → the round
         # fails un-marked and the resume re-runs it)
         for fut in side_commits:
             fut.result()
         filter_stats_wall_ms = filter_stats_wall_ms[0]
+        t_barrier = time.time()
 
         # frontier transition: fetched / retry / failed, plus the new URLs
         obs_front = Observation(f"front_r{round_no}")
@@ -453,9 +458,18 @@ class CrawlEngine:
             self.config.min_docs_per_s is not None
             and metrics["docs_per_s"] < self.config.min_docs_per_s
         )
+        # one-row metrics commit as a JVM-local relation: createDataFrame
+        # from Python objects goes through the RDD/pickle path and costs
+        # ~5 s per call in this environment (fresh python worker per job);
+        # range(1).select(lit...) stays JVM-side at ~0.3 s
+        metric_cols = [
+            (F.lit(v).cast("long") if isinstance(v, int) and not isinstance(v, bool)
+             else F.lit(v)).alias(k)
+            for k, v in metrics.items()
+        ]
         self.store.write(
             "metrics",
-            self.spark.createDataFrame([metrics]),
+            self.spark.range(1).select(*metric_cols),
             round_no,
             coalesce=1,
         )
@@ -463,7 +477,16 @@ class CrawlEngine:
         # frontier LAST: publishing it is the round's commit point. Its
         # observation values land in the returned dict only (the metrics
         # table is committed just above, before the marker).
+        t_metrics = time.time()
         self.store.write("frontier", frontier_next, round_no, partition_by=["state"])
+        metrics["phase_ms"] = {
+            "fetch_docs_commit": int((t_docs - t0) * 1000),
+            "feedback_seen_commit": int((t_seen - t_docs) * 1000),
+            "filter_maintenance": int((t_filter_maint - t_seen) * 1000),
+            "side_commit_barrier": int((t_barrier - t_filter_maint) * 1000),
+            "metrics_commit": int((t_metrics - t_barrier) * 1000),
+            "frontier_commit": int((time.time() - t_metrics) * 1000),
+        }
         fvals = obs_front.get
         metrics["frontier_rows"] = int(fvals["n_rows"] or 0)
         metrics["failed_urls"] = int(fvals["n_failed"] or 0)

@@ -50,12 +50,24 @@ class SnapshotStore:
         version: int,
         coalesce: int | None = None,
         partition_by: list[str] | None = None,
+        append: bool = False,
     ) -> None:
         """Write snapshot `version`; publish atomically. Small state tables
         are coalesced to avoid the small-files tax that kills fixed-cost
         scaling efficiency (SURVEY.md §7.4). `partition_by` maps to hive
         partitioning (Iceberg partition spec stand-in) so downstream state
-        predicates prune at the file level."""
+        predicates prune at the file level.
+
+        `append=True` declares the table APPEND-MODE (Iceberg append
+        snapshot stand-in): each version holds only that round's DELTA
+        rows, and `read(table, v)` returns the union of all published
+        versions ≤ v. This is what keeps a monotone-growing table (the
+        URL-seen set) at O(new rows) write cost per round instead of an
+        O(|table|) rewrite — at 10^10 seen URLs a per-round rewrite is the
+        scale killer. Re-running a round overwrites its own delta only
+        (idempotent resume); periodic compaction is the Iceberg
+        `rewrite_data_files` maintenance analog, not needed at sandbox
+        round counts."""
         tdir = os.path.join(self.root, table)
         os.makedirs(tdir, exist_ok=True)
         path = os.path.join(tdir, f"v={version}")
@@ -68,6 +80,8 @@ class SnapshotStore:
         manifest = self._read_manifest(table)
         if version not in manifest["versions"]:
             manifest["versions"] = sorted(set(manifest["versions"]) | {version})
+        if append:
+            manifest["append"] = True
         fd, tmp = tempfile.mkstemp(dir=tdir)
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
@@ -76,8 +90,11 @@ class SnapshotStore:
     def read(self, table: str, version: int | None = None) -> DataFrame:
         """Read a PUBLISHED snapshot. An explicit version must appear in the
         manifest — a directory written but never published (kill mid-round)
-        is invisible, preserving all-or-nothing round semantics."""
-        published = self.versions(table)
+        is invisible, preserving all-or-nothing round semantics. For an
+        append-mode table the result is the union of all published deltas
+        up to `version` (one multi-path parquet scan)."""
+        manifest = self._read_manifest(table)
+        published = manifest["versions"]
         if version is None:
             if not published:
                 raise FileNotFoundError(f"no committed snapshot for table {table}")
@@ -89,6 +106,11 @@ class SnapshotStore:
                     f"(published: {published})"
                 )
             v = version
+        if manifest.get("append"):
+            paths = [
+                os.path.join(self.root, table, f"v={u}") for u in published if u <= v
+            ]
+            return self.spark.read.parquet(*paths)
         return self.spark.read.parquet(os.path.join(self.root, table, f"v={v}"))
 
     def exists(self, table: str) -> bool:
