@@ -88,6 +88,12 @@ def engine_round_bench(spark, n_seeds: int, n_hosts: int) -> dict:
         "round2_wall_s": r2["wall_s"],
         "round2_docs": r2["fetched_docs"],
         "round2_docs_per_s": r2["docs_per_s"],
+        # full-round wall INCLUDING metrics + frontier-marker commits —
+        # the honest end-to-end number (wall_s keeps the r1/r2 pre-marker
+        # window for cross-round comparability)
+        "round2_full_wall_s": r2["full_wall_s"],
+        "round2_full_docs_per_s": r2["full_docs_per_s"],
+        "round2_phase_ms": r2["phase_ms"],
         "total_docs": sum(m["fetched_docs"] for m in metrics),
         "total_wall_s": round(sum(m["wall_s"] for m in metrics), 3),
     }

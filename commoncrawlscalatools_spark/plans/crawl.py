@@ -13,12 +13,16 @@ snapshot tables:
         and LAST the frontier — the round marker.
 
 Atomicity (round-commit protocol): `latest_round` resumes from the
-frontier table, and the frontier snapshot is committed LAST, so a kill at
-any point inside round r leaves frontier at r-1 and the resume re-runs
-round r from scratch. Re-running is idempotent: every other table's v=r is
-rewritten (mode=overwrite) and re-published; `SnapshotStore.read` refuses
-any version absent from the published manifest, so a partially-written
-directory is never read. Reference W2 work reclaim.
+frontier table, and the frontier MANIFEST PUBLISH is the round's commit
+point — the frontier data files are written concurrently with in-flight
+side commits, but the publish happens only after every side-commit future
+has joined, so a kill at any point inside round r leaves frontier at r-1
+and the resume re-runs round r from scratch. Re-running is idempotent:
+every other table's v=r is rewritten (mode=overwrite) and re-published
+(append-mode tables overwrite only their own round-r delta);
+`SnapshotStore.read` refuses any version absent from the published
+manifest, so a partially-written directory is never read. Reference W2
+work reclaim.
 
 Per-round cost discipline (raw scaling efficiency):
   * ONE pass over each expensive intermediate: `scheduled`,
@@ -338,89 +342,96 @@ class CrawlEngine:
         # Bloom saturation only degrades FP rate (pre-filter selectivity),
         # but a cuckoo eviction is a FALSE NEGATIVE — a seen URL would skip
         # the exact anti-join — so that check is a correctness guard.
-        filter_evicted = 0
-        filter_rebuilt = False
-        if filt == "bloom":
-            # geometry follows the STORED state (fixed across deltas; a
-            # saturation rebuild doubles it and later rounds inherit)
-            cur_bits = max(
-                (g[0] for g in bloom_bc.value.values()), default=cfg.bloom_bits
-            )
-            delta = SN.build_bloom(
-                new_frontier_rows.select("url_hash"),
-                n_buckets=cfg.bloom_buckets,
-                n_bits=cur_bits,
-            )
-            self.store.write(
-                "bloom", SN.merge_bloom(bloom_prev, delta), round_no, coalesce=4
-            )
-            bstate = (
-                self.store.read("bloom", round_no).select("n_bits", "n_items").collect()
-            )
-            if any(
-                r["n_items"] * cfg.bloom_bits_per_item > r["n_bits"] for r in bstate
-            ):
-                # size the new fixed geometry for the CURRENT worst bucket
-                # (next power of two ≥ items·bits_per_item), so one rebuild
-                # restores the target FP rate rather than one doubling per
-                # round chasing a growing seen set
-                worst = max(r["n_items"] for r in bstate)
-                new_bits = max(
-                    cur_bits * 2,
-                    1 << math.ceil(math.log2(max(1, worst * cfg.bloom_bits_per_item))),
-                )
-                self.store.write(
-                    "bloom",
-                    SN.build_bloom(
-                        self.store.read("seen", round_no),
-                        n_buckets=cfg.bloom_buckets,
-                        n_bits=new_bits,
-                    ),
-                    round_no,
-                    coalesce=4,
-                )
-                filter_rebuilt = True
-        elif filt == "cuckoo":
-            from commoncrawlscalatools_spark.operators import cuckoo as CK
+        # The whole chain runs as a pool future: its inputs (the
+        # new_frontier_rows cache and the committed seen table) are final
+        # once the seen delta lands, so it can overlap the frontier
+        # transition build and the metrics commit; the barrier below holds
+        # the marker until it lands.
+        maint = {"evicted": 0, "rebuilt": False}
 
-            self.store.write(
-                "cuckoo",
-                CK.insert_into_cuckoo(
-                    cuckoo_prev,
+        def _filter_maintenance():
+            if filt == "bloom":
+                # geometry follows the STORED state (fixed across deltas;
+                # a saturation rebuild doubles it and later rounds inherit)
+                cur_bits = max(
+                    (g[0] for g in bloom_bc.value.values()), default=cfg.bloom_bits
+                )
+                delta = SN.build_bloom(
                     new_frontier_rows.select("url_hash"),
                     n_buckets=cfg.bloom_buckets,
-                    n_slots=cfg.cuckoo_slots,
-                ),
-                round_no,
-                coalesce=4,
-            )
-            ckstate = (
-                self.store.read("cuckoo", round_no)
-                .select("n_slots", "n_evicted")
-                .collect()
-            )
-            filter_evicted = sum(int(r["n_evicted"]) for r in ckstate)
-            if filter_evicted > 0:
+                    n_bits=cur_bits,
+                )
+                self.store.write(
+                    "bloom", SN.merge_bloom(bloom_prev, delta), round_no, coalesce=4
+                )
+                bstate = (
+                    self.store.read("bloom", round_no)
+                    .select("n_bits", "n_items")
+                    .collect()
+                )
+                if any(
+                    r["n_items"] * cfg.bloom_bits_per_item > r["n_bits"] for r in bstate
+                ):
+                    # size the new fixed geometry for the CURRENT worst
+                    # bucket (next power of two ≥ items·bits_per_item), so
+                    # one rebuild restores the target FP rate rather than
+                    # one doubling per round chasing a growing seen set
+                    worst = max(r["n_items"] for r in bstate)
+                    new_bits = max(
+                        cur_bits * 2,
+                        1
+                        << math.ceil(
+                            math.log2(max(1, worst * cfg.bloom_bits_per_item))
+                        ),
+                    )
+                    self.store.write(
+                        "bloom",
+                        SN.build_bloom(
+                            self.store.read("seen", round_no),
+                            n_buckets=cfg.bloom_buckets,
+                            n_bits=new_bits,
+                        ),
+                        round_no,
+                        coalesce=4,
+                    )
+                    maint["rebuilt"] = True
+            elif filt == "cuckoo":
+                from commoncrawlscalatools_spark.operators import cuckoo as CK
+
                 self.store.write(
                     "cuckoo",
-                    CK.build_cuckoo(
-                        self.store.read("seen", round_no),
+                    CK.insert_into_cuckoo(
+                        cuckoo_prev,
+                        new_frontier_rows.select("url_hash"),
                         n_buckets=cfg.bloom_buckets,
-                        n_slots=max(int(r["n_slots"]) for r in ckstate) * 2,
+                        n_slots=cfg.cuckoo_slots,
                     ),
                     round_no,
                     coalesce=4,
                 )
-                filter_rebuilt = True
+                ckstate = (
+                    self.store.read("cuckoo", round_no)
+                    .select("n_slots", "n_evicted")
+                    .collect()
+                )
+                maint["evicted"] = sum(int(r["n_evicted"]) for r in ckstate)
+                if maint["evicted"] > 0:
+                    self.store.write(
+                        "cuckoo",
+                        CK.build_cuckoo(
+                            self.store.read("seen", round_no),
+                            n_buckets=cfg.bloom_buckets,
+                            n_slots=max(int(r["n_slots"]) for r in ckstate) * 2,
+                        ),
+                        round_no,
+                        coalesce=4,
+                    )
+                    maint["rebuilt"] = True
+
+        if filt != "none":
+            side_commits.append(_COMMIT_POOL.submit(_filter_maintenance))
 
         t_filter_maint = time.time()
-        # barrier: every concurrent side commit must land before the round
-        # can publish its marker (exceptions re-raise here → the round
-        # fails un-marked and the resume re-runs it)
-        for fut in side_commits:
-            fut.result()
-        filter_stats_wall_ms = filter_stats_wall_ms[0]
-        t_barrier = time.time()
 
         # frontier transition: fetched / retry / failed, plus the new URLs
         obs_front = Observation(f"front_r{round_no}")
@@ -448,9 +459,6 @@ class CrawlEngine:
             "spans": n_spans,
             "outlinks": n_links,
             "new_urls": n_new,
-            "seen_filter_evicted": filter_evicted,
-            "seen_filter_rebuilt": filter_rebuilt,
-            "filter_stats_wall_ms": filter_stats_wall_ms,
             "wall_s": round(wall, 3),
             "docs_per_s": round(n_docs / wall, 1) if wall > 0 else 0.0,
         }
@@ -474,18 +482,43 @@ class CrawlEngine:
             coalesce=1,
         )
 
-        # frontier LAST: publishing it is the round's commit point. Its
-        # observation values land in the returned dict only (the metrics
-        # table is committed just above, before the marker).
+        # frontier LAST: publishing it is the round's commit point. The
+        # big frontier DATA write overlaps the in-flight filter-maintenance
+        # future; only the manifest PUBLISH waits for the barrier, so the
+        # all-or-nothing round protocol is unchanged (kill before publish ⇒
+        # resume re-runs the round).
         t_metrics = time.time()
-        self.store.write("frontier", frontier_next, round_no, partition_by=["state"])
+        self.store.write_unpublished(
+            frontier_next, "frontier", round_no, partition_by=["state"]
+        )
+        t_frontier_data = time.time()
+        # barrier: every concurrent side commit must be durable before the
+        # marker (exceptions re-raise here → the round fails un-marked)
+        for fut in side_commits:
+            fut.result()
+        t_barrier = time.time()
+        self.store.publish("frontier", round_no)
+        # returned-dict-only values (the metrics table is committed before
+        # the marker, so anything that depends on the barrier lands here)
+        metrics["seen_filter_evicted"] = maint["evicted"]
+        metrics["seen_filter_rebuilt"] = maint["rebuilt"]
+        metrics["filter_stats_wall_ms"] = filter_stats_wall_ms[0]
+        # honest full-round wall INCLUDING the metrics + frontier-marker
+        # commits (wall_s keeps the pre-marker window for cross-round
+        # comparability with earlier benchmarks)
+        full_wall = time.time() - t0
+        metrics["full_wall_s"] = round(full_wall, 3)
+        metrics["full_docs_per_s"] = (
+            round(n_docs / full_wall, 1) if full_wall > 0 else 0.0
+        )
         metrics["phase_ms"] = {
             "fetch_docs_commit": int((t_docs - t0) * 1000),
             "feedback_seen_commit": int((t_seen - t_docs) * 1000),
-            "filter_maintenance": int((t_filter_maint - t_seen) * 1000),
-            "side_commit_barrier": int((t_barrier - t_filter_maint) * 1000),
-            "metrics_commit": int((t_metrics - t_barrier) * 1000),
-            "frontier_commit": int((time.time() - t_metrics) * 1000),
+            "filter_maintenance_submit": int((t_filter_maint - t_seen) * 1000),
+            "metrics_commit": int((t_metrics - t_filter_maint) * 1000),
+            "frontier_data_write": int((t_frontier_data - t_metrics) * 1000),
+            "side_commit_barrier": int((t_barrier - t_frontier_data) * 1000),
+            "marker_publish": int((time.time() - t_barrier) * 1000),
         }
         fvals = obs_front.get
         metrics["frontier_rows"] = int(fvals["n_rows"] or 0)

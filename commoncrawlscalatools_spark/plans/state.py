@@ -68,6 +68,23 @@ class SnapshotStore:
         (idempotent resume); periodic compaction is the Iceberg
         `rewrite_data_files` maintenance analog, not needed at sandbox
         round counts."""
+        self.write_unpublished(df, table, version, coalesce, partition_by)
+        self.publish(table, version, append=append)
+
+    def write_unpublished(
+        self,
+        df: DataFrame,
+        table: str,
+        version: int,
+        coalesce: int | None = None,
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Write the data files WITHOUT publishing the version. Invisible
+        to `read` until `publish` runs — lets a caller overlap the (big)
+        data write with other work and place the atomic manifest update
+        exactly at its commit point (the crawl round writes the frontier
+        parquet concurrently with filter maintenance, then publishes it as
+        the round marker only after every side commit has landed)."""
         tdir = os.path.join(self.root, table)
         os.makedirs(tdir, exist_ok=True)
         path = os.path.join(tdir, f"v={version}")
@@ -77,6 +94,11 @@ class SnapshotStore:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(path)
+
+    def publish(self, table: str, version: int, append: bool = False) -> None:
+        """Atomically publish a previously written version (temp file +
+        os.replace — the Iceberg metadata-swap analog)."""
+        tdir = os.path.join(self.root, table)
         manifest = self._read_manifest(table)
         if version not in manifest["versions"]:
             manifest["versions"] = sorted(set(manifest["versions"]) | {version})
