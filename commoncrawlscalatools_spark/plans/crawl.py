@@ -163,11 +163,32 @@ class CrawlEngine:
             coalesce=4,
         )
         self.store.write("robots", robots, 0, coalesce=4)
-        # frontier last: the round-0 marker. Partitioned by state so the
-        # next round's pending scan prunes fetched/failed files outright
-        # (Iceberg partition-spec stand-in; at 10^10 URLs the pending slice
-        # is the small hot set, the fetched log is cold).
-        self.store.write("frontier", frontier0, 0, partition_by=["state"])
+        # frontier_log: APPEND-mode companion holding rows that LEFT the
+        # active set (fetched/failed, immutable once written) — the cold
+        # crawl log. The ACTIVE frontier table below holds only live
+        # pending rows, so the per-round rewrite is O(pending), not
+        # O(every URL ever crawled) — at 10^10 total URLs with a bounded
+        # hot set this is the difference between a constant-cost round and
+        # a round that slows linearly with crawl age. Round 0 log: empty.
+        self.store.write(
+            "frontier_log",
+            self.spark.createDataFrame([], FR.FRONTIER_SCHEMA),
+            0,
+            coalesce=1,
+            append=True,
+        )
+        # frontier last: the round-0 marker (active pending rows only)
+        self.store.write("frontier", frontier0, 0)
+
+    def read_frontier(self, version: int | None = None) -> DataFrame:
+        """The FULL frontier view at a round: live pending rows (active
+        table) ∪ finished rows (append-mode log) — what the reference's
+        single wetpaths table held. Library/inspection API; the hot loop
+        only ever touches the active slice."""
+        v = self.store.latest_version("frontier") if version is None else version
+        return self.store.read("frontier", v).unionByName(
+            self.store.read("frontier_log", v)
+        )
 
     def _filter_kind(self) -> str:
         if not self.config.use_bloom:
@@ -433,20 +454,38 @@ class CrawlEngine:
 
         t_filter_maint = time.time()
 
-        # frontier transition: fetched / retry / failed, plus the new URLs
+        # frontier transition on the ACTIVE (pending) set: rows that
+        # finish (fetched / exhausted-retries failed) LEAVE the active
+        # table for the append-mode frontier_log — they are immutable from
+        # here on, so the active rewrite stays O(pending) forever instead
+        # of O(every URL ever crawled). `transitions` is persisted: the
+        # log append (pool) and the next active table both slice it.
+        transitions = FR.apply_fetch_results(
+            frontier, outcome, round_no, max_retries=cfg.max_retries
+        ).persist()
+        obs_log = Observation(f"log_r{round_no}")
+        finished = transitions.filter(
+            F.col("state").isin("fetched", "failed")
+        ).observe(
+            obs_log,
+            F.count(F.lit(1)).alias("n_done"),
+            F.sum((F.col("state") == "failed").cast("long")).alias("n_failed"),
+        )
+        side_commits.append(
+            _COMMIT_POOL.submit(
+                lambda: self.store.write(
+                    "frontier_log", finished, round_no, append=True
+                )
+            )
+        )
         obs_front = Observation(f"front_r{round_no}")
         frontier_next = (
-            FR.apply_fetch_results(
-                frontier, outcome, round_no, max_retries=cfg.max_retries
-            )
+            transitions.filter(F.col("state") == "pending")
             .unionByName(new_frontier_rows)
             .observe(
                 obs_front,
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum((F.col("state") == "failed").cast("long")).alias("n_failed"),
-                F.sum(
-                    ((F.col("state") == "pending") & (F.col("retries") > 0)).cast("long")
-                ).alias("n_retrying"),
+                F.sum((F.col("retries") > 0).cast("long")).alias("n_retrying"),
             )
         )
 
@@ -488,9 +527,7 @@ class CrawlEngine:
         # all-or-nothing round protocol is unchanged (kill before publish ⇒
         # resume re-runs the round).
         t_metrics = time.time()
-        self.store.write_unpublished(
-            frontier_next, "frontier", round_no, partition_by=["state"]
-        )
+        self.store.write_unpublished(frontier_next, "frontier", round_no)
         t_frontier_data = time.time()
         # barrier: every concurrent side commit must be durable before the
         # marker (exceptions re-raise here → the round fails un-marked)
@@ -521,10 +558,13 @@ class CrawlEngine:
             "marker_publish": int((time.time() - t_barrier) * 1000),
         }
         fvals = obs_front.get
-        metrics["frontier_rows"] = int(fvals["n_rows"] or 0)
-        metrics["failed_urls"] = int(fvals["n_failed"] or 0)
+        lvals = obs_log.get
+        metrics["frontier_rows"] = int(fvals["n_rows"] or 0)  # active/pending
         metrics["retrying_urls"] = int(fvals["n_retrying"] or 0)
+        metrics["finished_urls"] = int(lvals["n_done"] or 0)  # this round
+        metrics["failed_urls"] = int(lvals["n_failed"] or 0)  # this round
 
+        transitions.unpersist()
         outcome.unpersist()
         new_frontier_rows.unpersist()
         if flagged_cache is not None:

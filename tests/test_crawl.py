@@ -96,11 +96,11 @@ def test_crawl_rounds_and_resume(spark, store_root):
 
     # URL-seen set equality: seen table == distinct frontier url_hashes
     seen = {r[0] for r in eng2.store.read("seen", 3).select("url_hash").collect()}
-    fr = {r[0] for r in eng2.store.read("frontier", 3).select("url_hash").collect()}
+    fr = {r[0] for r in eng2.read_frontier(3).select("url_hash").collect()}
     assert seen == fr
 
     # frontier states are consistent: every fetched row was pending before
-    frontier = eng2.store.read("frontier", 3)
+    frontier = eng2.read_frontier(3)
     states = {r["state"] for r in frontier.select("state").distinct().collect()}
     assert states <= {"pending", "fetched"}
 
@@ -176,7 +176,7 @@ def test_kill_between_commits_rerolls_round_identically(spark, store_root):
     assert [x["round"] for x in m] == [2]
     # the re-run overwrote the partial commits: seen v2 == frontier v2 hashes
     seen = {r[0] for r in eng.store.read("seen", 2).select("url_hash").collect()}
-    fr = {r[0] for r in eng.store.read("frontier", 2).select("url_hash").collect()}
+    fr = {r[0] for r in eng.read_frontier(2).select("url_hash").collect()}
     assert seen == fr
 
 
@@ -198,7 +198,7 @@ def test_retry_backoff_and_give_up(spark, store_root):
     eng.bootstrap(seeds, robots)
     metrics = eng.run(4)
     assert any(m["failed_fetches"] > 0 for m in metrics)
-    frontier = eng.store.read("frontier", eng.latest_round())
+    frontier = eng.read_frontier(eng.latest_round())
     rows = frontier.collect()
     states = {r["state"] for r in rows}
     assert "fetched" in states

@@ -208,5 +208,5 @@ def test_crawl_engine_with_cuckoo_filter(spark, tmp_path):
         n_items = sum(row["n_items"] for row in ck.select("n_items").collect())
         assert n_items == eng.store.read("seen", r).count()
     seen = {x[0] for x in eng.store.read("seen", 2).select("url_hash").collect()}
-    fr = {x[0] for x in eng.store.read("frontier", 2).select("url_hash").collect()}
+    fr = {x[0] for x in eng.read_frontier(2).select("url_hash").collect()}
     assert seen == fr

@@ -68,7 +68,7 @@ def test_store_backed_rounds_identical_across_shuffle_settings(spark, tmp_path):
         eng.run(2)
         seen = sorted(r[0] for r in eng.store.read("seen", 2).select("url_hash").collect())
         frontier = sorted(
-            tuple(r) for r in eng.store.read("frontier", 2)
+            tuple(r) for r in eng.read_frontier(2)
             .select("url", "url_hash", "host", "state", "retries").collect()
         )
         docs = sorted(
