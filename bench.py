@@ -132,18 +132,39 @@ def main():
     spark = get_spark(cores=cpus, shuffle_partitions=cpus)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
 
+    # ANN index build is its own measured phase (VERDICT r3 #5): built
+    # once per sf_dir, so the ann_lsh_topk_bucketed entry below times the
+    # pure probe-partition scan — the shape a deployed index has.
+    from commoncrawlscalatools_spark.queries import ensure_ann_bucketed_index
+
+    t0 = time.time()
+    ensure_ann_bucketed_index(spark, sf_dir, force=True)
+    ann_build_s = round(time.time() - t0, 3)
+
+    # Interleaved min-wall trials (VERDICT r3 #4): this box has documented
+    # up-to-3× bursty external interference (BENCH.md), so each query runs
+    # `trials` full passes apart in time and reports its minimum wall —
+    # the interference-floor protocol bench/scaling.py already uses.
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     queries = all_queries()
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        per_query[name] = round(time.time() - t0, 3)
+    for _ in range(trials):
+        for name in HEADLINE:
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.time() - t0, 3)
+            per_query[name] = min(per_query.get(name, float("inf")), dt)
+    per_query["ann_bucketed_build"] = ann_build_s
 
-    # crawl throughput: one warm-up (tiny) + measured round
+    # crawl throughput: one warm-up (tiny) + min-wall over measured rounds
     crawl_round_bench(spark, 10_000, 200, 20)
-    crawl = crawl_round_bench(
-        spark, n_seeds, max(200, n_seeds // 500), per_host_cap=1000
+    crawl = min(
+        (
+            crawl_round_bench(spark, n_seeds, max(200, n_seeds // 500), per_host_cap=1000)
+            for _ in range(trials)
+        ),
+        key=lambda c: c["wall_s"],
     )
     per_query["crawl_round"] = crawl["wall_s"]
 

@@ -56,6 +56,7 @@ commit) is amortized by round size — see bench/scaling.py.
 
 from __future__ import annotations
 
+import atexit
 import math
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -73,8 +74,11 @@ from commoncrawlscalatools_spark.sources import fetch as FE
 # Driver-side pool for concurrent snapshot commits of independent small
 # state tables within a round (Spark job submission is thread-safe; each
 # table has its own manifest file, so the atomic-publish protocol is
-# per-table and race-free). Sized for the three side tables.
+# per-table and race-free). Sized for the three side tables; drained at
+# interpreter exit (every round also joins all futures at its barrier, so
+# shutdown never races an in-flight commit).
 _COMMIT_POOL = ThreadPoolExecutor(max_workers=4, thread_name_prefix="crawl-commit")
+atexit.register(_COMMIT_POOL.shutdown, wait=False, cancel_futures=True)
 
 
 @dataclass
@@ -112,6 +116,13 @@ class CrawlConfig:
     # per-record RPC). Off by default: it costs one regexp pass over the
     # round's document text.
     collect_filter_stats: bool = False
+    # Delta compaction cadence for the append-mode tables (seen,
+    # frontier_log): every K committed rounds the engine folds all
+    # published deltas into one base directory (SnapshotStore.compact —
+    # the Iceberg rewrite_data_files analog). Without it, every read of
+    # `seen` opens one parquet path per crawl round, so scan planning and
+    # resume latency grow linearly with crawl age. None disables.
+    compact_every: int | None = 16
 
 
 class CrawlEngine:
@@ -271,6 +282,11 @@ class CrawlEngine:
 
             def _write_filter_stats():
                 t_fs = time.time()
+                # the timed variants measure per-Arrow-batch processing
+                # time (reference parity: StreamFilterStatsWriter recorded
+                # processing_time per record) and their counts reconcile
+                # exactly with the untimed tables; the untimed tables stay
+                # the oracle-gated outcome/category aggregates
                 self.store.write(
                     "stream_filter_stats",
                     FL.stream_filter_stats(txt).withColumn("round", F.lit(round_no)),
@@ -278,8 +294,24 @@ class CrawlEngine:
                     coalesce=1,
                 )
                 self.store.write(
+                    "stream_filter_timing",
+                    FL.summarize_timed_stats(
+                        FL.stream_filter_stats_timed(txt)
+                    ).withColumn("round", F.lit(round_no)),
+                    round_no,
+                    coalesce=1,
+                )
+                self.store.write(
                     "topic_filter_stats",
                     FL.topic_filter_stats(txt).withColumn("round", F.lit(round_no)),
+                    round_no,
+                    coalesce=1,
+                )
+                self.store.write(
+                    "topic_filter_timing",
+                    FL.summarize_timed_stats(
+                        FL.topic_filter_stats_timed(txt)
+                    ).withColumn("round", F.lit(round_no)),
                     round_no,
                     coalesce=1,
                 )
@@ -489,6 +521,9 @@ class CrawlEngine:
             )
         )
 
+        # wall_s keeps the pre-frontier-data window for cross-round
+        # comparability with earlier benchmarks; full_wall_s below is the
+        # honest end-to-end number
         wall = time.time() - t0
         metrics = {
             "round": round_no,
@@ -505,28 +540,11 @@ class CrawlEngine:
             self.config.min_docs_per_s is not None
             and metrics["docs_per_s"] < self.config.min_docs_per_s
         )
-        # one-row metrics commit as a JVM-local relation: createDataFrame
-        # from Python objects goes through the RDD/pickle path and costs
-        # ~5 s per call in this environment (fresh python worker per job);
-        # range(1).select(lit...) stays JVM-side at ~0.3 s
-        metric_cols = [
-            (F.lit(v).cast("long") if isinstance(v, int) and not isinstance(v, bool)
-             else F.lit(v)).alias(k)
-            for k, v in metrics.items()
-        ]
-        self.store.write(
-            "metrics",
-            self.spark.range(1).select(*metric_cols),
-            round_no,
-            coalesce=1,
-        )
 
-        # frontier LAST: publishing it is the round's commit point. The
-        # big frontier DATA write overlaps the in-flight filter-maintenance
-        # future; only the manifest PUBLISH waits for the barrier, so the
-        # all-or-nothing round protocol is unchanged (kill before publish ⇒
-        # resume re-runs the round).
-        t_metrics = time.time()
+        # frontier data write overlaps the in-flight filter-maintenance
+        # future; only the manifest PUBLISH below is the round's commit
+        # point, so the all-or-nothing round protocol is unchanged (kill
+        # before publish ⇒ resume re-runs the round).
         self.store.write_unpublished(frontier_next, "frontier", round_no)
         t_frontier_data = time.time()
         # barrier: every concurrent side commit must be durable before the
@@ -534,35 +552,78 @@ class CrawlEngine:
         for fut in side_commits:
             fut.result()
         t_barrier = time.time()
-        self.store.publish("frontier", round_no)
-        # returned-dict-only values (the metrics table is committed before
-        # the marker, so anything that depends on the barrier lands here)
+
+        # Metrics commit sits AFTER the barrier and BEFORE the marker, so
+        # the persisted row carries everything the round's guards produced
+        # — filter eviction/rebuild health, per-phase walls, frontier /
+        # finished / failed counts — and a monitoring consumer reading the
+        # store (the reference's wetrecord_processing_stats use case,
+        # parseWETFilesFromCommoncrawl.scala:145-153) can see a filter
+        # rebuild without access to the driver process. A kill between
+        # metrics commit and marker publish re-runs the round, which
+        # overwrites metrics v=r — all-or-nothing semantics hold.
+        fvals = obs_front.get
+        lvals = obs_log.get
         metrics["seen_filter_evicted"] = maint["evicted"]
         metrics["seen_filter_rebuilt"] = maint["rebuilt"]
         metrics["filter_stats_wall_ms"] = filter_stats_wall_ms[0]
-        # honest full-round wall INCLUDING the metrics + frontier-marker
-        # commits (wall_s keeps the pre-marker window for cross-round
-        # comparability with earlier benchmarks)
+        metrics["frontier_rows"] = int(fvals["n_rows"] or 0)  # active/pending
+        metrics["retrying_urls"] = int(fvals["n_retrying"] or 0)
+        metrics["finished_urls"] = int(lvals["n_done"] or 0)  # this round
+        metrics["failed_urls"] = int(lvals["n_failed"] or 0)  # this round
+        phase_ms = {
+            "fetch_docs_commit": int((t_docs - t0) * 1000),
+            "feedback_seen_commit": int((t_seen - t_docs) * 1000),
+            "filter_maintenance_submit": int((t_filter_maint - t_seen) * 1000),
+            "frontier_data_write": int((t_frontier_data - t_filter_maint) * 1000),
+            "side_commit_barrier": int((t_barrier - t_frontier_data) * 1000),
+        }
+        # one-row metrics commit as a JVM-local relation: createDataFrame
+        # from Python objects goes through the RDD/pickle path and costs
+        # ~5 s per call in this environment (fresh python worker per job);
+        # range(1).select(lit...) stays JVM-side at ~0.3 s. phase_ms
+        # flattens to phase_<name>_ms columns (parquet/SQL-friendly).
+        metric_cols = [
+            (F.lit(v).cast("long") if isinstance(v, int) and not isinstance(v, bool)
+             else F.lit(v)).alias(k)
+            for k, v in metrics.items()
+        ] + [
+            F.lit(v).cast("long").alias(f"phase_{k}_ms") for k, v in phase_ms.items()
+        ]
+        # append-mode: read("metrics") is the full round history — the
+        # reference's wetrecord_processing_stats monitoring table shape
+        self.store.write(
+            "metrics",
+            self.spark.range(1).select(*metric_cols),
+            round_no,
+            coalesce=1,
+            append=True,
+        )
+        t_metrics = time.time()
+        self.store.publish("frontier", round_no)
+        t_publish = time.time()
+
+        # append-mode table maintenance AFTER the marker (pure layout
+        # rewrite — a kill mid-compaction leaves the previous base +
+        # deltas current; the next attempt redoes it)
+        compact_ms = 0
+        if cfg.compact_every and round_no % cfg.compact_every == 0:
+            self.store.compact("seen")
+            self.store.compact("frontier_log")
+            self.store.compact("metrics")
+            compact_ms = int((time.time() - t_publish) * 1000)
+
+        # returned-dict extras: the full end-to-end wall including the
+        # metrics + marker commits (+ compaction when it fires)
+        phase_ms["metrics_commit"] = int((t_metrics - t_barrier) * 1000)
+        phase_ms["marker_publish"] = int((t_publish - t_metrics) * 1000)
+        phase_ms["compaction"] = compact_ms
         full_wall = time.time() - t0
         metrics["full_wall_s"] = round(full_wall, 3)
         metrics["full_docs_per_s"] = (
             round(n_docs / full_wall, 1) if full_wall > 0 else 0.0
         )
-        metrics["phase_ms"] = {
-            "fetch_docs_commit": int((t_docs - t0) * 1000),
-            "feedback_seen_commit": int((t_seen - t_docs) * 1000),
-            "filter_maintenance_submit": int((t_filter_maint - t_seen) * 1000),
-            "metrics_commit": int((t_metrics - t_filter_maint) * 1000),
-            "frontier_data_write": int((t_frontier_data - t_metrics) * 1000),
-            "side_commit_barrier": int((t_barrier - t_frontier_data) * 1000),
-            "marker_publish": int((time.time() - t_barrier) * 1000),
-        }
-        fvals = obs_front.get
-        lvals = obs_log.get
-        metrics["frontier_rows"] = int(fvals["n_rows"] or 0)  # active/pending
-        metrics["retrying_urls"] = int(fvals["n_retrying"] or 0)
-        metrics["finished_urls"] = int(lvals["n_done"] or 0)  # this round
-        metrics["failed_urls"] = int(lvals["n_failed"] or 0)  # this round
+        metrics["phase_ms"] = phase_ms
 
         transitions.unpersist()
         outcome.unpersist()

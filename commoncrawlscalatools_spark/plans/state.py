@@ -65,9 +65,9 @@ class SnapshotStore:
         URL-seen set) at O(new rows) write cost per round instead of an
         O(|table|) rewrite — at 10^10 seen URLs a per-round rewrite is the
         scale killer. Re-running a round overwrites its own delta only
-        (idempotent resume); periodic compaction is the Iceberg
-        `rewrite_data_files` maintenance analog, not needed at sandbox
-        round counts."""
+        (idempotent resume); `compact()` is the Iceberg
+        `rewrite_data_files` maintenance analog that bounds read-side
+        path count as rounds accumulate."""
         self.write_unpublished(df, table, version, coalesce, partition_by)
         self.publish(table, version, append=append)
 
@@ -100,21 +100,82 @@ class SnapshotStore:
         os.replace — the Iceberg metadata-swap analog)."""
         tdir = os.path.join(self.root, table)
         manifest = self._read_manifest(table)
+        base = manifest.get("base")
+        if base is not None and version <= base:
+            raise ValueError(
+                f"table {table} v={version} is already folded into the "
+                f"compacted base (base={base}); compacted history is immutable"
+            )
         if version not in manifest["versions"]:
             manifest["versions"] = sorted(set(manifest["versions"]) | {version})
         if append:
             manifest["append"] = True
+        self._write_manifest(table, manifest)
+
+    def _write_manifest(self, table: str, manifest: dict) -> None:
+        tdir = os.path.join(self.root, table)
         fd, tmp = tempfile.mkstemp(dir=tdir)
         with os.fdopen(fd, "w") as f:
             json.dump(manifest, f)
         os.replace(tmp, self._manifest_path(table))
 
-    def read(self, table: str, version: int | None = None) -> DataFrame:
-        """Read a PUBLISHED snapshot. An explicit version must appear in the
-        manifest — a directory written but never published (kill mid-round)
-        is invisible, preserving all-or-nothing round semantics. For an
-        append-mode table the result is the union of all published deltas
-        up to `version` (one multi-path parquet scan)."""
+    def compact(
+        self, table: str, upto_version: int | None = None, vacuum: bool = True
+    ) -> int | None:
+        """Rewrite the union of an append-mode table's published deltas
+        ≤ `upto_version` into ONE base directory and atomically re-publish
+        it as the new read base — the Iceberg `rewrite_data_files` analog
+        the append-mode design needs: without it every read opens one
+        parquet path per crawl round, so resume latency and scan-planning
+        cost grow linearly with crawl age (reference analog: Cassandra
+        compacts its SSTables itself; a snapshot store must do it
+        explicitly). Crash-safe: the base is written to a staging dir,
+        renamed, then the manifest swap publishes it — a kill at any point
+        leaves the previous base + deltas current and readable. With
+        `vacuum` the folded delta dirs (and the previous base) are removed
+        AFTER the swap; reads of versions below the new base then raise
+        (Iceberg snapshot expiration). Returns the new base version, or
+        None when there was nothing to fold."""
+        tdir = os.path.join(self.root, table)
+        manifest = self._read_manifest(table)
+        if not manifest.get("append"):
+            raise ValueError(f"table {table} is not append-mode; nothing to compact")
+        published = manifest["versions"]
+        if not published:
+            return None
+        v = published[-1] if upto_version is None else upto_version
+        if v not in published:
+            raise FileNotFoundError(f"table {table} v={v} is not published")
+        old_base = manifest.get("base")
+        folds = [u for u in published if (old_base is None or u > old_base) and u <= v]
+        if old_base is not None and (v <= old_base or not folds):
+            return None  # already covered by the current base
+        df = self.read(table, v)  # current base (if any) + deltas ≤ v
+        staging = os.path.join(tdir, f"base={v}.staging")
+        final = os.path.join(tdir, f"base={v}")
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.exists(final):  # interrupted earlier attempt at same v
+            import shutil
+
+            shutil.rmtree(final)
+        os.rename(staging, final)
+        manifest["base"] = v
+        self._write_manifest(table, manifest)  # ← the commit point
+        if vacuum:
+            import shutil
+
+            for u in folds:
+                shutil.rmtree(os.path.join(tdir, f"v={u}"), ignore_errors=True)
+            if old_base is not None:
+                shutil.rmtree(
+                    os.path.join(tdir, f"base={old_base}"), ignore_errors=True
+                )
+        return v
+
+    def read_paths(self, table: str, version: int | None = None) -> list[str]:
+        """The parquet directories a `read` at `version` opens — the
+        observable that compaction bounds (tests/bench assert its size
+        stays O(1) in round count once compaction runs)."""
         manifest = self._read_manifest(table)
         published = manifest["versions"]
         if version is None:
@@ -128,12 +189,33 @@ class SnapshotStore:
                     f"(published: {published})"
                 )
             v = version
-        if manifest.get("append"):
-            paths = [
-                os.path.join(self.root, table, f"v={u}") for u in published if u <= v
-            ]
-            return self.spark.read.parquet(*paths)
-        return self.spark.read.parquet(os.path.join(self.root, table, f"v={v}"))
+        if not manifest.get("append"):
+            return [os.path.join(self.root, table, f"v={v}")]
+        base = manifest.get("base")
+        if base is not None and v < base:
+            raise FileNotFoundError(
+                f"table {table} v={v} predates the compacted base "
+                f"(base={base}): snapshot expired by compaction"
+            )
+        paths = []
+        if base is not None:
+            paths.append(os.path.join(self.root, table, f"base={base}"))
+        paths += [
+            os.path.join(self.root, table, f"v={u}")
+            for u in published
+            if (base is None or u > base) and u <= v
+        ]
+        return paths
+
+    def read(self, table: str, version: int | None = None) -> DataFrame:
+        """Read a PUBLISHED snapshot. An explicit version must appear in the
+        manifest — a directory written but never published (kill mid-round)
+        is invisible, preserving all-or-nothing round semantics. For an
+        append-mode table the result is the union of the compacted base
+        (if any) plus all published deltas above it up to `version` —
+        one multi-path parquet scan whose path count `compact()` keeps
+        bounded."""
+        return self.spark.read.parquet(*self.read_paths(table, version))
 
     def exists(self, table: str) -> bool:
         return self.latest_version(table) is not None

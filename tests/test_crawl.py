@@ -265,6 +265,76 @@ def test_bloom_saturation_rebuild_recovers_fp_rate(spark, store_root):
     ), "committed geometry must satisfy the health invariant"
 
 
+def test_engine_compaction_bounds_paths_and_resumes(spark, store_root):
+    """Engine-driven delta compaction (VERDICT r3 #1): with compact_every=2
+    over 6 rounds, the append-mode seen/frontier_log read path count stays
+    bounded (≤ 1 base + compact_every deltas), reads are identical to the
+    uncompacted union, and a NEW engine instance resumes from the
+    compacted state and keeps the URL-seen invariant."""
+    seeds = generate_seeds(spark, 250, seed=17, n_hosts=15)
+    robots = generate_robots(spark, 15, seed=17)
+    cfg = CrawlConfig(per_host_cap=4, n_hosts=15, use_bloom=True, bloom_buckets=8,
+                      doc_coalesce=2, compact_every=2)
+    eng = CrawlEngine(spark, store_root, cfg)
+    eng.bootstrap(seeds, robots)
+    eng.run(4)
+    # rounds 0..4 committed; compaction fired at rounds 2 and 4
+    for table in ("seen", "frontier_log"):
+        assert len(eng.store.read_paths(table)) <= 1 + cfg.compact_every, table
+
+    # resume from compacted state: a fresh engine continues cleanly
+    eng2 = CrawlEngine(spark, store_root, cfg)
+    assert eng2.latest_round() == 4
+    m = eng2.run(6)
+    assert [x["round"] for x in m] == [5, 6]
+    assert len(eng2.store.read_paths("seen")) <= 1 + cfg.compact_every
+
+    # compacted seen table still equals the distinct frontier url_hashes
+    seen = {r[0] for r in eng2.store.read("seen", 6).select("url_hash").collect()}
+    fr = {r[0] for r in eng2.read_frontier(6).select("url_hash").collect()}
+    assert seen == fr
+    # the Bloom filter (rebuilt incrementally across compactions) still has
+    # zero false negatives over the compacted seen set
+    from commoncrawlscalatools_spark.operators.seen import bloom_maybe_seen
+
+    flagged = bloom_maybe_seen(
+        eng2.store.read("seen", 6), eng2.store.read("bloom", 6), n_buckets=8
+    )
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_round_metrics_table_is_durable_with_guard_fields(spark, store_root):
+    """VERDICT r3 #2: the persisted metrics table (not just the returned
+    dict) must carry the guard/health fields — a monitoring consumer
+    reading the store sees a forced cuckoo rebuild, the per-phase walls,
+    and the frontier/finished counts."""
+    cfg = CrawlConfig(per_host_cap=20, n_hosts=15, seen_filter="cuckoo",
+                      bloom_buckets=2, cuckoo_slots=1 << 3, doc_coalesce=2)
+    eng = CrawlEngine(spark, store_root, cfg)
+    eng.bootstrap(generate_seeds(spark, 400, seed=11, n_hosts=15),
+                  generate_robots(spark, 15, seed=11))
+    metrics = eng.run(2)
+    assert any(m["seen_filter_rebuilt"] for m in metrics)  # guard fired
+    # read back from the STORE — the process-independent channel. The
+    # metrics table is append-mode: one scan returns the full round history.
+    history = eng.store.read("metrics")
+    assert history.count() == len(metrics)
+    for m in metrics:
+        row = history.filter(F.col("round") == m["round"]).collect()[0].asDict()
+        assert row["seen_filter_rebuilt"] == m["seen_filter_rebuilt"]
+        assert row["seen_filter_evicted"] == m["seen_filter_evicted"]
+        assert row["frontier_rows"] == m["frontier_rows"]
+        assert row["finished_urls"] == m["finished_urls"]
+        assert row["failed_urls"] == m["failed_urls"]
+        assert row["fetched_docs"] == m["fetched_docs"]
+        for phase in ("fetch_docs_commit", "feedback_seen_commit",
+                      "frontier_data_write", "side_commit_barrier"):
+            assert row[f"phase_{phase}_ms"] == m["phase_ms"][phase]
+    assert any(r["seen_filter_rebuilt"] for r in history.collect()), (
+        "the rebuild guard event must be visible from the store alone"
+    )
+
+
 def test_typed_failure_class_give_up_rounds(spark):
     """Each failure class parks after exactly 1 + class_cap failed attempts
     (socket: immediately; dns: initial + 10 re-attempts; slow: 1; http: 8),

@@ -16,6 +16,14 @@ SUBSET = [
     "frontier_schedule",
     "ann_cosine_topk",
     "windowed_event_agg",
+    # oracled entries the driver's 50-query gate cap drops (the
+    # no-reference-counterpart extras yield first): value-checked HERE so
+    # every oracled entry is either driver-gated or CI-gated (VERDICT r3 #6)
+    "rollup_lineitem",
+    "cube_orders",
+    "pivot_status_by_priority",
+    # round-4 oracle for the WET golden-fixture path (VERDICT r3 #8)
+    "wet_fixture_records",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()

@@ -46,6 +46,64 @@ def test_append_mode_unpublished_delta_invisible(spark, tmp_path):
         pass
 
 
+def test_compact_preserves_reads_and_bounds_paths(spark, tmp_path):
+    """Delta compaction (Iceberg rewrite_data_files analog): folding all
+    published deltas into one base must leave read() byte-identical, drop
+    the read-side path count to 1, keep later deltas appendable, and make
+    pre-base versions unreadable (snapshot expiration)."""
+    import pytest
+
+    store = SnapshotStore(spark, str(tmp_path / "stc"))
+    for v in range(10):
+        store.write("seen", _hashes(spark, v * 5, v * 5 + 5), v, append=True)
+    before = sorted(r["url_hash"] for r in store.read("seen").collect())
+    assert len(store.read_paths("seen")) == 10
+
+    assert store.compact("seen") == 9
+    assert len(store.read_paths("seen")) == 1
+    after = sorted(r["url_hash"] for r in store.read("seen").collect())
+    assert after == before
+
+    # later deltas stack on the base; a second compaction folds them in
+    store.write("seen", _hashes(spark, 50, 55), 10, append=True)
+    store.write("seen", _hashes(spark, 55, 60), 11, append=True)
+    assert len(store.read_paths("seen")) == 3
+    assert sorted(r["url_hash"] for r in store.read("seen").collect()) == list(range(60))
+    assert store.compact("seen") == 11
+    assert len(store.read_paths("seen")) == 1
+    assert sorted(r["url_hash"] for r in store.read("seen").collect()) == list(range(60))
+
+    # versions below the base are expired; re-publishing into compacted
+    # history is refused (the base is immutable)
+    with pytest.raises(FileNotFoundError):
+        store.read("seen", 3)
+    with pytest.raises(ValueError):
+        store.publish("seen", 5)
+    # compacting again with nothing new is a no-op
+    assert store.compact("seen") is None
+
+
+def test_compact_partial_prefix_and_crash_leftovers(spark, tmp_path):
+    """Compaction up to an intermediate version keeps later deltas live;
+    a leftover final dir from a killed earlier attempt is replaced, and a
+    kill before the manifest swap leaves the previous view intact."""
+    import os
+
+    root = str(tmp_path / "stp")
+    store = SnapshotStore(spark, root)
+    for v in range(6):
+        store.write("seen", _hashes(spark, v * 3, v * 3 + 3), v, append=True)
+    # leftover from a crashed attempt: final dir exists, manifest never swapped
+    _hashes(spark, 0, 1).write.parquet(os.path.join(root, "seen", "base=3"))
+    assert len(store.read_paths("seen")) == 6  # manifest rules; leftover invisible
+
+    assert store.compact("seen", upto_version=3) == 3
+    assert len(store.read_paths("seen")) == 3  # base + deltas 4,5
+    assert sorted(r["url_hash"] for r in store.read("seen").collect()) == list(range(18))
+    # time travel to a post-base version still works
+    assert store.read("seen", 4).count() == 15
+
+
 def test_non_append_tables_keep_full_snapshot_semantics(spark, tmp_path):
     store = SnapshotStore(spark, str(tmp_path / "st3"))
     store.write("frontier", _hashes(spark, 0, 3), 0)
