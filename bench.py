@@ -7,6 +7,15 @@ per second on a synthetic seed frontier (deterministic generator,
 in-memory round — state-store IO excluded so the number measures the
 engine, not the sandbox disk). Scaling evidence (local[8] vs local[32])
 lives in bench/scaling.py → BENCH.md.
+
+Measurement protocol (r4, VERDICT r3 #4): this box has documented
+up-to-3× bursty external interference, so every headline query runs
+$SPARK_GRAFT_BENCH_TRIALS (default 2) full interleaved passes and
+reports its MINIMUM wall; `spark.catalog.clearCache()` runs between
+passes so queries that persist() intermediates re-earn their time (the
+min measures interference-free cold-plan execution on a warm JVM, never
+a cache hit). Consequence vs r2/r3 numbers: the first query no longer
+absorbs JVM warm-up (r3's q1 5.3 s ≈ 0.5 s of work + warm-up).
 """
 
 from __future__ import annotations
@@ -149,6 +158,10 @@ def main():
     queries = all_queries()
     per_query: dict[str, float] = {}
     for _ in range(trials):
+        # drop plan-level cache between passes: queries that persist()
+        # intermediates must re-earn their time every trial (min-wall
+        # measures interference-free COLD plan execution, not cache hits)
+        spark.catalog.clearCache()
         for name in HEADLINE:
             t0 = time.time()
             df = queries[name](spark, sf_dir)

@@ -31,15 +31,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HW_SPEEDUP = {1: 1.0, 2: 2.0, 4: 3.5, 8: 6.9, 16: 11.5, 32: 17.8}
 
 
-def run(cores: int, n_seeds: int) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench", "scaling_worker.py"), str(cores), str(n_seeds)],
-        capture_output=True,
-        text=True,
-        timeout=1800,
-    )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+def run(cores: int, n_seeds: int, attempts: int = 3, timeout_s: int = 420) -> dict:
+    """One fresh-JVM worker run. The sandbox occasionally wedges a Spark
+    python-worker handshake (executor thread parked in EPoll.wait on a
+    dead worker socket — observed twice under interference bursts), so a
+    run is bounded at `timeout_s` and retried on hang/garbage; a hung run
+    is interference garbage by definition under min-wall scoring."""
+    cmd = [sys.executable, os.path.join(REPO, "bench", "scaling_worker.py"),
+           str(cores), str(n_seeds)]
+    for a in range(attempts):
+        try:
+            out = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout_s)
+            lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+            if lines:
+                return json.loads(lines[-1])
+            print(f"local[{cores}] attempt {a}: no result line "
+                  f"(rc={out.returncode}); retrying", flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"local[{cores}] attempt {a}: hung past {timeout_s}s; retrying",
+                  flush=True)
+    raise RuntimeError(f"local[{cores}] worker failed {attempts} attempts")
 
 
 def measure_pair(lo: int, hi: int, n_seeds: int, trials: int) -> dict:
@@ -135,8 +146,12 @@ persist barriers for lambda-captured arrays, ParallelGC + right-sized heap
 Reference anchor (BASELINE.md): ≈2,160 docs/s cluster-wide on ~9 cores —
 this engine at local[8] exceeds it by ~50×.
 """
-    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+    # raw per-run report; BENCH.md is curated by hand from this + the
+    # historical minima (it must keep the cross-round combined-min tables)
+    with open(os.path.join(REPO, "bench", "scaling_report.md"), "w") as f:
         f.write(md)
+    with open(os.path.join(REPO, "bench", "scaling_last.json"), "w") as f:
+        json.dump(pairs, f, indent=1)
 
 
 if __name__ == "__main__":
