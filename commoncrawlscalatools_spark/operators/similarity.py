@@ -192,6 +192,98 @@ def lsh_cosine_topk_bucketed(
     return cosine_topk(df, query_vec, vec_col, id_col, k)
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 16,
+    dim: int = 64,
+    sample: int = 4096,
+    iters: int = 8,
+) -> list[list[float]]:
+    """Deterministic coarse quantizer for IVF: Lloyd's k-means on a
+    bounded, deterministically-chosen sample (lowest `sample` ids),
+    trained driver-side in numpy. This is the standard IVF shape (faiss
+    trains its quantizer on a sample too): at 10^10 rows the training
+    input stays a few thousand vectors — the collect is O(sample·dim),
+    never O(corpus). Deterministic: sample selection, seeding (first k
+    distinct sample vectors) and iteration count are all data-derived, so
+    the same corpus always yields the same centroids — which lets the
+    DuckDB oracle inline them as literals. Centroids are L2-normalized
+    (cosine IVF: nearest centroid = argmax dot with normalized centroid)."""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample)
+        .select(_as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    x = np.array([r["v"] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cent = x[:k].copy()
+    for _ in range(iters):
+        sims = x @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                cent[j] = c / max(np.linalg.norm(c), 1e-12)
+    return [[float(v) for v in c] for c in cent]
+
+
+def ivf_assign_expr(vec: Column, centroids: list[list[float]], dim: int) -> Column:
+    """Cluster id = argmax_j dot(vec, centroid_j) — 1-based array_position
+    over the dot-product array (ties → first index, matching the oracle's
+    list_position). The vector's own norm is constant across j, so plain
+    dots rank identically to cosine."""
+    v = _as_double(vec)
+    dots = F.array(
+        *[
+            F.round(dot(v, F.lit([float(x) for x in c]), dim=dim), 9)
+            for c in centroids
+        ]
+    )
+    return F.array_position(dots, F.array_max(dots)).cast("int")
+
+
+def ivf_cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF ANN (the brief's named alternative to LSH bucketing): assign
+    every row to its nearest coarse centroid, probe the query's `nprobe`
+    nearest cells, exact-cosine re-rank inside them. Same plan shape as
+    the LSH path — a selective filter then cosine_topk — so the same
+    write-time option applies (partition the corpus by cluster id and the
+    probe filter becomes partition pruning). Recall is tuned by nprobe
+    (probing more cells) instead of LSH's probe_bits/n_tables."""
+    import numpy as np
+
+    dim = len(query_vec)
+    q = np.array(query_vec, dtype=np.float64)
+    cent = np.array(centroids, dtype=np.float64)
+    # dots rounded to 9 decimals before ranking — the same tie-break
+    # contract the in-plan assignment and the DuckDB oracle use
+    probes = [
+        int(j) + 1
+        for j in np.argsort(-np.round(cent @ q, 9), kind="stable")[:nprobe]
+    ]
+    assigned = df.withColumn(
+        "__cell", ivf_assign_expr(F.col(vec_col), centroids, dim)
+    )
+    return cosine_topk(
+        assigned.filter(F.col("__cell").isin(probes)), query_vec, vec_col, id_col, k
+    )
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

@@ -22,8 +22,12 @@ SUBSET = [
     "rollup_lineitem",
     "cube_orders",
     "pivot_status_by_priority",
+    "ann_lsh_topk",
     # round-4 oracle for the WET golden-fixture path (VERDICT r3 #8)
     "wet_fixture_records",
+    # round-4 depth adds (oracled + gated; checked here too for fast CI)
+    "ann_ivf_topk",
+    "relevance_bm25_topk",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()

@@ -180,3 +180,51 @@ def test_cosine_near_dup_recall_on_planted_dups(spark, sf_dir):
     expected = {(r["vec_id"], 10_000 + r["vec_id"]) for r in rows}
     recall = len(got & expected) / len(expected)
     assert recall >= 0.9, f"planted near-dup recall = {recall:.2f}"
+
+
+def test_ivf_trained_matches_numpy_oracle_and_recall(spark, sf_dir):
+    """IVF with the kmeans-TRAINED quantizer (data-dependent, so its
+    value-level parity is held here against an independent numpy oracle
+    rather than inlinable SQL): (a) the Spark result equals a pure-numpy
+    IVF over the same centroids, (b) recall@10 vs brute force clears the
+    floor, (c) the result is identical at any partitioning."""
+    from commoncrawlscalatools_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        kmeans_centroids,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = kmeans_centroids(e, "embedding", "vec_id", k=8, dim=64, sample=256, iters=5)
+    # training is deterministic: same call → same centroids
+    assert cents == kmeans_centroids(e, "embedding", "vec_id", k=8, dim=64, sample=256, iters=5)
+
+    got = ivf_cosine_topk(e, q, cents, k=10, nprobe=3).collect()
+
+    # independent numpy oracle: same assignment/probe/rerank contract
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.array([[float(v) for v in r["embedding"]] for r in rows])
+    c = np.array(cents)
+    qv = np.array(q)
+    cells = np.argmax(np.round(x @ c.T, 9), axis=1) + 1
+    probes = set(
+        int(j) + 1 for j in np.argsort(-np.round(c @ qv, 9), kind="stable")[:3]
+    )
+    mask = np.array([int(cl) in probes for cl in cells])
+    sims = np.round(
+        (x[mask] @ qv) / (np.linalg.norm(x[mask], axis=1) * np.linalg.norm(qv)), 6
+    )
+    order = sorted(zip(-sims, ids[mask]))[:10]
+    expect = [(int(i), float(-s)) for s, i in order]
+    assert [(r["vec_id"], r["cos_sim"]) for r in got] == expect
+
+    # recall vs brute force
+    brute = {r["vec_id"] for r in cosine_topk(e, q, k=10).collect()}
+    hit = len({r["vec_id"] for r in got} & brute) / 10
+    assert hit >= 0.5, f"IVF recall@10 too low: {hit}"
+
+    # partitioning invariance
+    got_r = ivf_cosine_topk(e.repartition(13), q, cents, k=10, nprobe=3).collect()
+    assert [tuple(r) for r in got_r] == [tuple(r) for r in got]
