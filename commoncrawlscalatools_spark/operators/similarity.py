@@ -284,6 +284,51 @@ def ivf_cosine_topk(
     )
 
 
+def write_ivf_embeddings(
+    df: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> None:
+    """Write-time IVF index: assign the cell ONCE and persist the table
+    hive-partitioned by it — the same write-time discipline as
+    write_bucketed_embeddings, with Voronoi cells instead of LSH buckets.
+    A query then reads only its nprobe cell partitions (PartitionFilters
+    file pruning); at 10^10 rows the scan touches nprobe/k of the data."""
+    assigned = df.select(
+        id_col, vec_col, ivf_assign_expr(F.col(vec_col), centroids, dim).alias("cell")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_cosine_topk_partitioned(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF query over a write_ivf_embeddings table: probe cells computed
+    driver-side (tiny), filter on the PARTITION column, exact re-rank.
+    Identical results to ivf_cosine_topk over the same centroids (pinned
+    in tests/test_similarity.py)."""
+    import numpy as np
+
+    q = np.array(query_vec, dtype=np.float64)
+    cent = np.array(centroids, dtype=np.float64)
+    probes = [
+        int(j) + 1
+        for j in np.argsort(-np.round(cent @ q, 9), kind="stable")[:nprobe]
+    ]
+    df = spark.read.parquet(path).filter(F.col("cell").isin(probes))
+    return cosine_topk(df, query_vec, vec_col, id_col, k)
+
+
 def knn_join(
     left: DataFrame,
     right: DataFrame,

@@ -1520,6 +1520,65 @@ def wet_fixture_records(spark, sf_dir):
     )
 
 
+def _wet_lifecycle_oracle() -> str:
+    """W5 oracle: derive the per-archive lifecycle rows (reference finish
+    triggers: fileid/recordcount/logmessage, MyFinishTrigger.scala:92-111)
+    from the frozen golden records — the log strings below are the
+    reference's exact Parser.scala messages."""
+    import os
+
+    path = os.path.join(_wet_fixdir(), "expected_records.parquet")
+    return f"""
+    WITH g AS (SELECT * FROM read_parquet('{path}')),
+    per AS (
+      SELECT fixture,
+        CAST(sum(CASE WHEN record_kind = 'conversion' THEN 1 ELSE 0 END) AS BIGINT)
+          AS records_extracted,
+        CAST(sum(CASE WHEN record_kind = 'corrupt' THEN 1 ELSE 0 END) AS BIGINT)
+          AS corrupt_records,
+        max(CASE WHEN record_kind = 'warcinfo' AND record_pos = 1
+                 THEN warc_filename END) AS file_id
+      FROM g GROUP BY fixture)
+    SELECT fixture, file_id,
+      -- strict FSA gate: no valid first warcinfo => nothing extracted
+      CASE WHEN file_id IS NULL THEN 0 ELSE records_extracted END
+        AS records_extracted,
+      corrupt_records,
+      CASE
+        WHEN file_id IS NULL THEN
+          'File Parse Error - Corruption detected, was not able to find complete WARCInfo record'
+        WHEN corrupt_records > 0 AND records_extracted = 0 THEN
+          'File Parse Error - Corruption detected and no WARC Conversion records were extracted'
+        WHEN corrupt_records > 0 THEN 'File Parsed - Some corruption detected'
+        ELSE 'File Parsed Normally'
+      END AS log_message
+    FROM per ORDER BY fixture
+    """
+
+
+@q("wet_fixture_lifecycle", _wet_lifecycle_oracle())
+def wet_fixture_lifecycle(spark, sf_dir):
+    """W5 end-to-end on the real golden .wet.gz bytes: per-archive
+    lifecycle rows (file_id, record counts, the reference's exact
+    finish-trigger log strings — Parser.scala via ParserSpec:288-361),
+    value-oracled against the frozen golden records."""
+    import os
+
+    from commoncrawlscalatools_spark.sources import wet as WT
+
+    fixdir = _wet_fixdir()
+    parsed = WT.parse_wet_archive(
+        WT.read_wet_gz(spark, os.path.join(fixdir, "*.wet.gz"))
+    )
+    lc = WT.archive_lifecycle(parsed)
+    return (
+        lc.withColumn("fixture", F.element_at(F.split("wet_path", "/"), -1))
+        .select("fixture", "file_id", "records_extracted", "corrupt_records",
+                "log_message")
+        .orderBy("fixture")
+    )
+
+
 @q(
     "pivot_status_by_priority",
     """
@@ -1817,6 +1876,28 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+@q("ann_ivf_topk_partitioned")
+def ann_ivf_topk_partitioned(spark, sf_dir):
+    """The IVF scale path: cells assigned at WRITE time, table
+    hive-partitioned by cell, query scans only its nprobe partitions
+    (write_ivf_embeddings — the Voronoi twin of the LSH bucketed index).
+    Rows-only by design: its results are IDENTICAL to the oracled
+    `ann_ivf_topk` (same fixed quantizer — equality pinned in
+    tests/test_similarity.py), so a second oracle would be redundant;
+    the partition-pruned plan is the point (PLANS.md §IVF)."""
+    import hashlib
+    import os
+
+    cents = _ivf_fixed_centroids()
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/dev/shm/spark-graft-ivf-{tag}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        SM.write_ivf_embeddings(t(spark, sf_dir, "embeddings"), path, cents)
+    return SM.ivf_cosine_topk_partitioned(
+        spark, path, _query_vec(spark, sf_dir), cents, k=10, nprobe=3
+    )
+
+
 # Entries that yield first under a driver gate cap (they sort to the END
 # of the oracled block; the LAST name is cut first). Every name here is
 # value-checked in CI instead (tests/test_queries_contract.py SUBSET), so
@@ -1824,10 +1905,13 @@ def ann_ivf_topk(spark, sf_dir):
 #   * ann_lsh_topk — its bucketed twin stays gated with the IDENTICAL
 #     oracle and identical result rows, so the per-query variant is
 #     redundant as driver evidence;
+#   * running_value_per_user — second window-function anchor; the gated
+#     top_orders_per_customer already anchors §2.10 windows;
 #   * pivot/cube/rollup — relational extras with no reference counterpart
 #     (COVERAGE.md §2.6 note).
 _YIELD_FIRST_UNDER_CAP = [
     "ann_lsh_topk",
+    "running_value_per_user",
     "pivot_status_by_priority",
     "cube_orders",
     "rollup_lineitem",

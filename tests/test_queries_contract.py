@@ -23,8 +23,10 @@ SUBSET = [
     "cube_orders",
     "pivot_status_by_priority",
     "ann_lsh_topk",
-    # round-4 oracle for the WET golden-fixture path (VERDICT r3 #8)
+    "running_value_per_user",
+    # round-4 oracles for the WET golden-fixture paths (VERDICT r3 #8)
     "wet_fixture_records",
+    "wet_fixture_lifecycle",
     # round-4 depth adds (oracled + gated; checked here too for fast CI)
     "ann_ivf_topk",
     "relevance_bm25_topk",

@@ -228,3 +228,34 @@ def test_ivf_trained_matches_numpy_oracle_and_recall(spark, sf_dir):
     # partitioning invariance
     got_r = ivf_cosine_topk(e.repartition(13), q, cents, k=10, nprobe=3).collect()
     assert [tuple(r) for r in got_r] == [tuple(r) for r in got]
+
+
+def test_ivf_partitioned_matches_in_plan_variant_and_prunes(spark, sf_dir, tmp_path):
+    """Write-time IVF (Voronoi twin of the bucketed LSH index): the
+    partitioned table must return EXACTLY the in-plan ivf_cosine_topk
+    results for the same quantizer, and the cell filter must prune at the
+    partition level (PartitionFilters in the physical plan)."""
+    import re
+
+    from commoncrawlscalatools_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_cosine_topk_partitioned,
+        write_ivf_embeddings,
+    )
+    from commoncrawlscalatools_spark.queries import _ivf_fixed_centroids
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    cents = _ivf_fixed_centroids()
+    path = str(tmp_path / "ivf_part")
+    write_ivf_embeddings(e, path, cents)
+
+    got = ivf_cosine_topk_partitioned(spark, path, q, cents, k=10, nprobe=3)
+    expected = ivf_cosine_topk(e, q, cents, k=10, nprobe=3)
+    assert [tuple(r) for r in got.collect()] == [
+        (r["vec_id"], r["cos_sim"]) for r in expected.collect()
+    ]
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m and "cell" in m.group(1) and " IN " in m.group(1), plan[:2000]

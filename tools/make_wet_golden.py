@@ -32,11 +32,37 @@ OUT = os.path.join(
 def main():
     import pyarrow as pa
     import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from commoncrawlscalatools_spark.sources import wet as WT
 
     spark = get_spark(app="wet-golden", cores=4, shuffle_partitions=4)
-    pdf = wet_fixture_records(spark, sf_dir="unused").toPandas()
+    fixdir = os.path.dirname(OUT)
+    parsed = WT.parse_wet_archive(
+        WT.read_wet_gz(spark, os.path.join(fixdir, "*.wet.gz"))
+    )
+    # superset of wet_fixture_records' columns: warc_filename feeds the
+    # archive-lifecycle oracle (file_id of the first valid warcinfo)
+    pdf = (
+        parsed.withColumn("fixture", F.element_at(F.split("wet_path", "/"), -1))
+        .select(
+            "fixture",
+            "record_pos",
+            "record_kind",
+            F.col("warc_record_id").alias("record_id"),
+            F.col("warc_target_uri").alias("target_uri"),
+            "content_length",
+            F.md5(F.col("content")).alias("content_md5"),
+            "warc_filename",
+        )
+        .orderBy("fixture", "record_pos")
+        .toPandas()
+    )
     pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), OUT)
     print(f"wrote {len(pdf)} records -> {OUT}")
+    # must equal the gated query's output on the shared columns
+    qdf = wet_fixture_records(spark, sf_dir="unused").toPandas()
+    assert qdf.equals(pdf[qdf.columns.tolist()]), "golden/query drift"
     print(pdf.groupby(["fixture", "record_kind"]).size())
 
 
