@@ -752,13 +752,18 @@ def _minhash_bands_sql(num_perm: int, bands: int) -> str:
     return " UNION ALL ".join(parts)
 
 
-def _minhash_pairs_oracle(num_perm: int = 64, bands: int = 16, threshold: float = 0.5) -> str:
+def _minhash_pairs_oracle(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5,
+    base: str = "documents",
+) -> str:
+    """`base` parameterizes the source relation so composed pipelines
+    (create_corpus_pipeline) can run the same dedup SQL over a CTE."""
     return f"""
     WITH sh AS (
       SELECT doc_id, {_SHINGLES_SQL} AS shingles
       FROM (SELECT doc_id,
                    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
-            FROM documents)
+            FROM {base})
     ), nonempty AS (SELECT * FROM sh WHERE len(shingles) > 0),
     sig AS (SELECT doc_id, {_minhash_sig_sql(num_perm)} FROM nonempty),
     banded AS ({_minhash_bands_sql(num_perm, bands)}),
@@ -1579,6 +1584,77 @@ def wet_fixture_lifecycle(spark, sf_dir):
     )
 
 
+def _create_corpus_oracle(k: int = 50, num_perm: int = 64, bands: int = 16,
+                          threshold: float = 0.5) -> str:
+    """End-to-end createCorpus oracle: composes the relevance-topk,
+    content-join, stopword-shingle-count and minhash-dedup oracle
+    fragments over one chain, with the dominance rule keyed on RELEVANCE
+    (the reference's mostRelevant winner, createCorpus.scala:425-442)."""
+    pairs = _minhash_pairs_oracle(num_perm, bands, threshold, base="shingled_docs")
+    return f"""
+    WITH topk AS (
+      SELECT doc_id, relevance FROM (
+        SELECT doc_id,
+               round(({_sql_count('text', 'join')} + {_sql_count('text', 'merge')}) * 10.0
+                     / len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 6)
+               AS relevance
+        FROM documents)
+      WHERE relevance > 0.1 ORDER BY relevance DESC, doc_id LIMIT {k}),
+    corpus_base AS (
+      SELECT d.doc_id AS doc_id, d.text AS text, kk.relevance AS relevance
+      FROM documents d JOIN topk kk ON d.doc_id = kk.doc_id),
+    swpos AS (
+      SELECT doc_id, toks, unnest(range(1, len(toks) - 4, 2)) AS i
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM corpus_base)),
+    swcnt AS (
+      SELECT doc_id, count(DISTINCT array_to_string(toks[i:i+5], ' ')) AS n
+      FROM swpos WHERE list_contains({_SW_LIST}, lower(toks[i]))
+      GROUP BY doc_id),
+    flagged AS (
+      SELECT cb.doc_id AS doc_id, cb.text AS text, cb.relevance AS relevance,
+             coalesce(s.n, 0) AS n_sh
+      FROM corpus_base cb LEFT JOIN swcnt s ON cb.doc_id = s.doc_id),
+    shingled_docs AS (SELECT * FROM flagged WHERE n_sh > 0),
+    short_docs AS (SELECT * FROM flagged WHERE n_sh = 0),
+    vp AS ({pairs}),
+    dedges AS (
+      SELECT id_a AS x, id_b AS y FROM vp
+      UNION ALL SELECT id_b AS x, id_a AS y FROM vp),
+    dominated AS (
+      SELECT DISTINCT e.x AS doc_id
+      FROM dedges e
+      JOIN shingled_docs rx ON e.x = rx.doc_id
+      JOIN shingled_docs ry ON e.y = ry.doc_id
+      WHERE ry.relevance > rx.relevance
+         OR (ry.relevance = rx.relevance AND e.y < e.x)),
+    kept AS (
+      SELECT * FROM shingled_docs
+      WHERE doc_id NOT IN (SELECT doc_id FROM dominated)
+      UNION ALL SELECT * FROM short_docs)
+    SELECT doc_id, relevance, n_sh AS n_shingles,
+           'unknown-' || md5(text) || '.txt' AS filename
+    FROM kept
+    """
+
+
+@q("create_corpus_pipeline", _create_corpus_oracle())
+def create_corpus_pipeline(spark, sf_dir):
+    """The reference's second flagship job composed end-to-end
+    (createCorpus.main, SURVEY.md §3.2 — plans/corpus.py): relevance
+    search → top-K → broadcast content join → stopword-shingle split →
+    minhash near-dup with winner-by-RELEVANCE → short docs rejoin →
+    export filenames. Every reference driver exit (feature-space collect,
+    winner closure) runs distributed."""
+    from commoncrawlscalatools_spark.plans.corpus import create_corpus
+
+    d = t(spark, sf_dir, "documents")
+    return create_corpus(
+        d, ["join", "merge"], k=50, min_relevance=0.1, max_bucket=1_000_000
+    )
+
+
 @q(
     "pivot_status_by_priority",
     """
@@ -1909,8 +1985,11 @@ def ann_ivf_topk_partitioned(spark, sf_dir):
 #     top_orders_per_customer already anchors §2.10 windows;
 #   * pivot/cube/rollup — relational extras with no reference counterpart
 #     (COVERAGE.md §2.6 note).
+#   * corpus_filenames — its F11 filename derivation is subsumed by the
+#     gated create_corpus_pipeline (same formula, end-to-end).
 _YIELD_FIRST_UNDER_CAP = [
     "ann_lsh_topk",
+    "corpus_filenames",
     "running_value_per_user",
     "pivot_status_by_priority",
     "cube_orders",

@@ -23,7 +23,10 @@ SUBSET = [
     "cube_orders",
     "pivot_status_by_priority",
     "ann_lsh_topk",
+    "corpus_filenames",
     "running_value_per_user",
+    # composed createCorpus flagship (gated too; checked here for fast CI)
+    "create_corpus_pipeline",
     # round-4 oracles for the WET golden-fixture paths (VERDICT r3 #8)
     "wet_fixture_records",
     "wet_fixture_lifecycle",
