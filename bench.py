@@ -50,13 +50,16 @@ HEADLINE = [
     "stream_filter_docs",
     "topic_filter_docs",
     "relevance_topk",
+    "relevance_bm25_topk",
     "minhash_dedup_pairs",
     "simhash_pairs",
     "ngram_jaccard_pairs",
     "ann_cosine_topk",
     "ann_lsh_topk",
     "ann_lsh_topk_bucketed",
+    "ann_ivf_topk",
     "knn_join_lsh_topk",
+    "create_corpus_pipeline",
     "doc_fingerprints",
     "sessionize_events",
     "windowed_event_agg",

@@ -1744,6 +1744,30 @@ def corpus_filenames(spark, sf_dir):
 # weaker rows-only check; pytest holds the strong invariants) --------------
 
 
+@q("prepared_index_rows")
+def prepared_index_rows(spark, sf_dir):
+    """§3.3 prepareDocumentsFromTable composed (plans/prepare.py): clean →
+    hasContent gate → index rows, one pass feeding both sinks (the
+    reference ran its lineage twice — one saveToCassandra per sink).
+    The synthetic documents table has no sentence structure (the
+    reference's input was real prose), so the text is deterministically
+    sentencified first (capitalize + trailing period); ~60% then pass the
+    PrepareDocument sentence gates, the rest are dropped by hasContent.
+    Rows-only: the cleaner is the PrepareDocument Python state machine
+    (83 golden tests); the index derivation is deterministic."""
+    from commoncrawlscalatools_spark.plans.prepare import index_rows, prepared_records
+
+    d = t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.upper(F.substring("text", 1, 1)),
+            F.expr("substring(text, 2)"),
+            F.lit("."),
+        ),
+    )
+    return index_rows(prepared_records(d)).orderBy("doc_id")
+
+
 @q("cleaner_full")
 def cleaner_full(spark, sf_dir):
     """Full PrepareDocument-style cleaner (Arrow UDF; golden tests in

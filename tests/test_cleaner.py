@@ -92,3 +92,37 @@ def test_keep_lines_expr(spark):
     df = spark.createDataFrame([(text,)], ["text"])
     kept = df.select(keep_lines(F.col("text"))).collect()[0][0]
     assert kept == LONG
+
+
+def test_prepare_documents_two_sinks_one_pass(spark, sf_dir, tmp_path):
+    """§3.3 composition (plans/prepare.py): one persisted cleaning pass
+    feeds BOTH sinks (the reference ran its lineage twice); the two
+    outputs are mutually consistent and the hasContent gate holds."""
+    from pyspark.sql import functions as F
+
+    from commoncrawlscalatools_spark.plans.prepare import prepare_documents
+    from commoncrawlscalatools_spark.plans.state import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "prep"))
+    # the synthetic docs lack sentence structure; sentencify so the
+    # PrepareDocument gates have something to keep (and something to drop)
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(120)
+        .withColumn(
+            "text",
+            F.concat(
+                F.upper(F.substring("text", 1, 1)),
+                F.expr("substring(text, 2)"),
+                F.lit("."),
+            ),
+        )
+    )
+    out = prepare_documents(d, store, 0)
+    recs = store.read("prepared_records", 0)
+    idx = store.read("prepared_index", 0)
+    assert out["prepared"] == recs.count() == idx.count() > 0
+    j = recs.select("doc_id", F.length("cleaned").alias("n")).join(idx, "doc_id")
+    assert j.count() == out["prepared"]
+    assert j.filter(F.col("n") != F.col("n_clean_chars")).count() == 0
+    assert recs.filter(F.length(F.trim(F.col("cleaned"))) == 0).count() == 0
