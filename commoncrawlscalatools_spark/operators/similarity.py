@@ -234,17 +234,24 @@ def kmeans_centroids(
     return [[float(v) for v in c] for c in cent]
 
 
-def ivf_assign_expr(vec: Column, centroids: list[list[float]], dim: int) -> Column:
+def ivf_assign_expr(
+    vec: Column, centroids: list[list[float]], dim: int, unroll: bool = False
+) -> Column:
     """Cluster id = argmax_j dot(vec, centroid_j) — 1-based array_position
     over the dot-product array (ties → first index, matching the oracle's
     list_position). The vector's own norm is constant across j, so plain
-    dots rank identically to cosine."""
+    dots rank identically to cosine.
+
+    `unroll` follows the one-off-vs-amortized rule (PLANS.md §ANN): the
+    dim-unrolled form costs seconds of Janino compile (k·dim terms — 8×64
+    ≈ 4k expression nodes) which dominates a single query, so per-query
+    assignment keeps the interpreted HOF dot (bit-identical fold order);
+    the write-time index build amortizes the compile over the full table
+    and unrolls."""
     v = _as_double(vec)
+    d = dim if unroll else None
     dots = F.array(
-        *[
-            F.round(dot(v, F.lit([float(x) for x in c]), dim=dim), 9)
-            for c in centroids
-        ]
+        *[F.round(dot(v, F.lit([float(x) for x in c]), dim=d), 9) for c in centroids]
     )
     return F.array_position(dots, F.array_max(dots)).cast("int")
 
@@ -298,7 +305,9 @@ def write_ivf_embeddings(
     A query then reads only its nprobe cell partitions (PartitionFilters
     file pruning); at 10^10 rows the scan touches nprobe/k of the data."""
     assigned = df.select(
-        id_col, vec_col, ivf_assign_expr(F.col(vec_col), centroids, dim).alias("cell")
+        id_col,
+        vec_col,
+        ivf_assign_expr(F.col(vec_col), centroids, dim, unroll=True).alias("cell"),
     )
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
