@@ -334,19 +334,94 @@ def minhash_dedup(
 # ----- SimHash ---------------------------------------------------------------
 
 
-def simhash64(text: Column, bits: int = 32) -> Column:
-    """SimHash over whitespace tokens. Each token votes its md5-derived
-    32-bit hash's bits; the sign of each bit-sum forms the fingerprint.
-    Pure aggregate expression (no UDF): for bit j, count tokens with bit j
-    set vs total, set result bit iff set-count*2 > total."""
-    toks = F.array_distinct(ws_tokens(text))
-    n = F.size(toks)
-    hashes = F.transform(toks, md5_hash32)
-    out = F.lit(0).cast("long")
-    for j in range(bits):
-        cnt = F.size(F.filter(hashes, lambda h: h.bitwiseAND(F.lit(1 << j)) != 0))
-        out = out + F.when(cnt * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
-    return out
+def _simhash_fingerprints(
+    df: DataFrame, text_col: str, id_col: str, bits: int
+) -> DataFrame:
+    """Per-doc SimHash fingerprint as two non-negative 32-bit halves
+    (`sim_lo` = bits 0..31, `sim_hi` = bits 32..63). Two halves instead of
+    one signed long: bit 63 of a single-column fingerprint is the sign bit,
+    which overflows signed arithmetic in both Spark and an external SQL
+    oracle — split halves keep every value non-negative and engine-portable.
+
+    Token hash is 64 bits of md5 (hex chars 1-8 → lo, 9-16 → hi), so every
+    fingerprint bit is a uniform hash bit — no constant-zero top bits that
+    would collapse a band's keyspace.
+
+    Bit votes run as ONE explode + hash-aggregate with `bits` codegen'd
+    sum((h>>j)&1) expressions — whole-stage codegen, map-side partials, one
+    shuffle on the high-cardinality doc id. (The round-1 shape — 32
+    higher-order `filter` passes per row — was interpreted, re-evaluating
+    the token-hash array per pass; measured 3.2 s → this plan on sf0.1.)
+    """
+    lo_bits = min(bits, 32)
+    hi_bits = bits - lo_bits
+    toks = F.array_distinct(ws_tokens(F.col(text_col)))
+    hx = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
+        F.col(id_col),
+        F.explode_outer(
+            F.transform(
+                toks,
+                lambda t: F.struct(
+                    md5_hash32(t).alias("lo"),
+                    F.conv(F.substring(F.md5(t), 9, 8), 16, 10)
+                    .cast("long")
+                    .alias("hi"),
+                ),
+            )
+        ).alias("__h"),
+    )
+    votes = hx.groupBy(id_col).agg(
+        F.count("__h.lo").alias("__n"),  # counts non-null ⇒ empty docs vote 0
+        *[
+            F.sum(
+                F.shiftright(F.col("__h.lo"), j).bitwiseAND(F.lit(1))
+            ).alias(f"__lo{j}")
+            for j in range(lo_bits)
+        ],
+        *[
+            F.sum(
+                F.shiftright(F.col("__h.hi"), j).bitwiseAND(F.lit(1))
+            ).alias(f"__hi{j}")
+            for j in range(hi_bits)
+        ],
+    )
+
+    def _half(prefix: str, nbits: int) -> Column:
+        out = F.lit(0).cast("long")
+        for j in range(nbits):
+            out = out + F.when(
+                F.coalesce(F.col(f"__{prefix}{j}"), F.lit(0)) * 2 > F.col("__n"),
+                F.lit(1 << j),
+            ).otherwise(F.lit(0))
+        return out
+
+    return votes.select(
+        F.col(id_col), _half("lo", lo_bits).alias("sim_lo"), _half("hi", hi_bits).alias("sim_hi")
+    )
+
+
+def _simhash_banded(
+    fp: DataFrame, id_col: str, bits: int, bands: int
+) -> DataFrame:
+    """Explode fingerprints to (seg_id, seg_val) band rows. seg_bits must
+    not straddle the lo/hi halves (i.e. 32 % seg_bits == 0 when bits > 32)."""
+    seg_bits = bits // bands
+    if bits > 32 and 32 % seg_bits != 0:
+        raise ValueError(f"seg_bits={seg_bits} straddles the 32-bit halves")
+    mask = (1 << seg_bits) - 1
+    segs = []
+    for s in range(bands):
+        off = s * seg_bits
+        src = F.col("sim_lo") if off < 32 else F.col("sim_hi")
+        segs.append(
+            F.struct(
+                F.lit(s).alias("seg_id"),
+                F.shiftright(src, off % 32).bitwiseAND(F.lit(mask)).alias("seg_val"),
+            )
+        )
+    return fp.select(
+        id_col, "sim_lo", "sim_hi", F.explode(F.array(*segs)).alias("seg")
+    ).select(id_col, "sim_lo", "sim_hi", "seg.seg_id", "seg.seg_val")
 
 
 def simhash_near_pairs(
@@ -354,50 +429,36 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    bits: int = 32,
+    bits: int = 64,
     bands: int = 4,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ max_hamming.
     Pigeonhole banding: split the fingerprint into `bands` segments — any
     pair within distance < bands shares at least one exact segment, so the
-    self-join key is (segment_id, segment_value), never all-pairs."""
-    seg_bits = bits // bands
-    mask = (1 << seg_bits) - 1
-    # Bit votes as ONE explode + hash-aggregate with `bits` codegen'd
-    # sum((h>>j)&1) expressions — whole-stage codegen, map-side partials,
-    # one shuffle on the high-cardinality doc id. (The round-1 shape — 32
-    # higher-order `filter` passes per row — was interpreted, re-evaluating
-    # the token-hash array per pass; measured 3.2 s → this plan on sf0.1.)
-    hx = _spread(df.select(F.col(id_col), F.col(text_col)), id_col).select(
-        F.col(id_col),
-        F.explode_outer(
-            F.transform(F.array_distinct(ws_tokens(F.col(text_col))), md5_hash32)
-        ).alias("__h"),
-    )
-    votes = hx.groupBy(id_col).agg(
-        F.count("__h").alias("__n"),  # counts non-null ⇒ empty docs vote 0
-        *[
-            F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1))).alias(f"__c{j}")
-            for j in range(bits)
-        ],
-    )
-    sim = F.lit(0).cast("long")
-    for j in range(bits):
-        sim = sim + F.when(
-            F.coalesce(F.col(f"__c{j}"), F.lit(0)) * 2 > F.col("__n"), F.lit(1 << j)
-        ).otherwise(F.lit(0))
-    h = votes.select(F.col(id_col), sim.alias("simhash"))
-    segs = []
-    for s in range(bands):
-        segs.append(
-            F.struct(
-                F.lit(s).alias("seg_id"),
-                F.shiftright(F.col("simhash"), s * seg_bits).bitwiseAND(F.lit(mask)).alias("seg_val"),
-            )
+    self-join key is (segment_id, segment_value), never all-pairs.
+
+    Scale geometry (the round-4 fix): defaults are bits=64 / bands=4 →
+    seg_bits=16, a 65,536-value keyspace per band. The old 32/4 default gave
+    8-bit segments (≤256 values per band), so at web scale EVERY band bucket
+    held ~n/256 docs and the self-join was quadratic regardless of content.
+    With 16-bit segments random collisions are 1/65536 per band; only true
+    near-duplicate clusters concentrate, and those are bounded by
+    `max_bucket` — same salting guard as minhash_candidates: buckets larger
+    than the cap are dropped before the self-join (boilerplate clusters that
+    big are exact-dedup's job, not simhash's). `max_bucket=None` disables
+    the cap (exact small-corpus mode). Use `simhash_dropped_buckets` for
+    the accounting view of what a cap discarded."""
+    fp = _simhash_fingerprints(df, text_col, id_col, bits)
+    banded = _simhash_banded(fp, id_col, bits, bands).persist()
+    # Cap pathological buckets before the self-join (cf. minhash max_bucket).
+    if max_bucket is not None:
+        sizes = banded.groupBy("seg_id", "seg_val").count()
+        banded = banded.join(
+            sizes.filter(F.col("count") <= max_bucket),
+            ["seg_id", "seg_val"],
+            "left_semi",
         )
-    banded = h.select(id_col, "simhash", F.explode(F.array(*segs)).alias("seg")).select(
-        id_col, "simhash", "seg.seg_id", "seg.seg_val"
-    ).persist()  # feeds both self-join sides; simhash is 32 filters/row
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(
@@ -409,11 +470,33 @@ def simhash_near_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-            ).alias("hamming"),
+            (
+                F.bit_count(F.col("a.sim_lo").bitwiseXOR(F.col("b.sim_lo")))
+                + F.bit_count(F.col("a.sim_hi").bitwiseXOR(F.col("b.sim_hi")))
+            ).cast("int").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+def simhash_dropped_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    bands: int = 4,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Accounting for simhash_near_pairs' bucket cap: the (seg_id, seg_val,
+    count) buckets the cap discards. At cluster scale this is the side
+    output you'd write next to the pairs table so dropped boilerplate
+    clusters are visible, not silent."""
+    fp = _simhash_fingerprints(df, text_col, id_col, bits)
+    banded = _simhash_banded(fp, id_col, bits, bands)
+    return (
+        banded.groupBy("seg_id", "seg_val")
+        .count()
+        .filter(F.col("count") > max_bucket)
+    )

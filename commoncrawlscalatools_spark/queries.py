@@ -792,47 +792,75 @@ def minhash_dedup_pairs(spark, sf_dir):
     return DD.jaccard_for_pairs(cands, sh, "doc_id", threshold=0.5)
 
 
-def _simhash_sql(bits: int = 32) -> str:
-    """SimHash expression over `hashes` (list<bigint>) and `n` (len)."""
+def _simhash_half_sql(src: str, nbits: int) -> str:
+    """SimHash half-fingerprint expression over `{src}` (list<bigint> token
+    hashes) and `n` (token count) — bit j set iff set-votes*2 > n."""
     terms = []
-    for j in range(bits):
+    for j in range(nbits):
         terms.append(
-            f"(CASE WHEN len(list_filter(hashes, h -> (h & {1 << j}) != 0)) * 2 > n"
+            f"(CASE WHEN len(list_filter({src}, h -> (h & {1 << j}) != 0)) * 2 > n"
             f" THEN {1 << j} ELSE 0 END)"
         )
-    return " + ".join(terms)
+    return " + ".join(terms) if terms else "0"
 
 
-def _simhash_pairs_oracle(max_hamming: int = 3, bits: int = 32, bands: int = 4) -> str:
+def _simhash_pairs_oracle(
+    max_hamming: int = 3, bits: int = 64, bands: int = 4, max_bucket: int = 1000
+) -> str:
+    """Mirrors operators/dedup.py simhash geometry: 64-bit fingerprint as
+    two non-negative 32-bit halves (md5 hex 1-8 → lo, 9-16 → hi), seg_bits
+    = bits/bands segments that never straddle the halves, and the same
+    bucket-size cap applied before the self-join."""
+    lo_bits = min(bits, 32)
+    hi_bits = bits - lo_bits
     seg_bits = bits // bands
     mask = (1 << seg_bits) - 1
-    segs = " UNION ALL ".join(
-        f"SELECT doc_id, simhash, {s} AS seg_id, (simhash >> {s * seg_bits}) & {mask} AS seg_val FROM sh"
-        for s in range(bands)
-    )
+    seg_rows = []
+    for s in range(bands):
+        off = s * seg_bits
+        src = "sim_lo" if off < 32 else "sim_hi"
+        seg_rows.append(
+            f"SELECT doc_id, sim_lo, sim_hi, {s} AS seg_id,"
+            f" ({src} >> {off % 32}) & {mask} AS seg_val FROM sh"
+        )
+    segs = " UNION ALL ".join(seg_rows)
     return f"""
-    WITH hx AS (
+    WITH toks AS (
       SELECT doc_id,
-             list_transform(list_distinct(
-               list_filter(string_split_regex(text, '\\s+'), x -> x <> '')),
-               t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS hashes,
-             len(list_distinct(
-               list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) AS n
+             list_distinct(
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tk
       FROM documents),
-    sh AS (SELECT doc_id, {_simhash_sql(bits)} AS simhash FROM hx),
-    banded AS ({segs})
+    hx AS (
+      SELECT doc_id,
+             list_transform(tk, t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT)) AS h_lo,
+             list_transform(tk, t -> CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT)) AS h_hi,
+             len(tk) AS n
+      FROM toks),
+    sh AS (SELECT doc_id,
+                  {_simhash_half_sql('h_lo', lo_bits)} AS sim_lo,
+                  {_simhash_half_sql('h_hi', hi_bits)} AS sim_hi
+           FROM hx),
+    banded AS ({segs}),
+    capped AS (
+      SELECT * FROM (
+        SELECT *, count(*) OVER (PARTITION BY seg_id, seg_val) AS bc FROM banded)
+      WHERE bc <= {max_bucket})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
-    FROM banded a JOIN banded b
+           CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+                + bit_count(xor(a.sim_hi, b.sim_hi)) AS INTEGER) AS hamming
+    FROM capped a JOIN capped b
       ON a.seg_id = b.seg_id AND a.seg_val = b.seg_val AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+          + bit_count(xor(a.sim_hi, b.sim_hi)) <= {max_hamming}
     """
 
 
-@q("simhash_pairs", _simhash_pairs_oracle(3, 32, 4))
+@q("simhash_pairs", _simhash_pairs_oracle(3, 64, 4, 1000))
 def simhash_pairs(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    return DD.simhash_near_pairs(d, "text", "doc_id", max_hamming=3, bits=32, bands=4)
+    return DD.simhash_near_pairs(
+        d, "text", "doc_id", max_hamming=3, bits=64, bands=4, max_bucket=1000
+    )
 
 
 # ---------------------------------------------------------------------------
