@@ -1683,6 +1683,69 @@ def create_corpus_pipeline(spark, sf_dir):
     )
 
 
+def _refilter_oracle(delete_cat: str = "scans") -> str:
+    """Mirrors plans/refilter.py refilter_outcomes: the synthesized legacy
+    source string encodes the LOOSE categorization (core ≥ 1, no secondary
+    requirement), the refilter recomputes under DOC_TOPICS' strict
+    thresholds, and the source delete keys on the STORED (loose) string
+    containing `delete_cat`. Legacy codec chars built via chr() to dodge
+    quote/brace escaping."""
+    loose, strict = [], []
+    for cat in sorted(DOC_TOPICS.core):
+        core = " + ".join(_sql_count("text", k) for k in DOC_TOPICS.core[cat])
+        sec = " + ".join(_sql_count("text", k) for k in DOC_TOPICS.secondary[cat])
+        mc, ms = DOC_TOPICS.thresholds(cat)
+        loose.append(f"CASE WHEN {core} >= 1 THEN '{cat}' END")
+        strict.append(f"CASE WHEN {core} >= {mc} AND {sec} >= {ms} THEN '{cat}' END")
+    enc = (
+        "chr(123) || chr(39) || array_to_string(new_cats, chr(39) || ',' || chr(39))"
+        " || chr(39) || chr(125)"
+    )
+    return f"""
+    WITH cats AS (
+      SELECT doc_id,
+             list_filter([{", ".join(strict)}], x -> x IS NOT NULL) AS new_cats,
+             list_filter([{", ".join(loose)}], x -> x IS NOT NULL) AS old_cats
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(new_cats) > 0 THEN {enc} END AS new_categories,
+           len(new_cats) > 0 AS refiltered,
+           list_contains(old_cats, '{delete_cat}') AS deleted_from_source
+    FROM cats
+    WHERE len(new_cats) > 0 OR list_contains(old_cats, '{delete_cat}')
+    """
+
+
+@q("refilter_pipeline", _refilter_oracle("scans"))
+def refilter_pipeline(spark, sf_dir):
+    """The reference's third table-to-table job composed end-to-end
+    (refilterWETRecords.scala:80-170 + deleteRefilteredWETRecordsFrom
+    Source.scala:71-84 — plans/refilter.py): a legacy-codec source
+    category string (synthesized here with a loose core-only config, the
+    stand-in for the reference's previously-stored categorization) is
+    decoded for the source delete while categories are recomputed from
+    content under the strict DOC_TOPICS config for the refiltered table.
+    Output is the per-row outcome surface; the store-backed twin with the
+    atomic source-delete commit is refilter_job (pytest-gated resume)."""
+    from commoncrawlscalatools_spark.plans.refilter import (
+        legacy_category_string,
+        refilter_outcomes,
+    )
+
+    loose = FL.TopicFilterConfig(
+        core=dict(DOC_TOPICS.core),
+        secondary=dict(DOC_TOPICS.secondary),
+        min_secondary={c: 0 for c in DOC_TOPICS.core},
+    )
+    d = t(spark, sf_dir, "documents")
+    src = d.withColumn(
+        "categories", legacy_category_string(F.col("text"), loose)
+    )
+    return refilter_outcomes(
+        src, "text", "doc_id", config=DOC_TOPICS, delete_categories=["scans"]
+    )
+
+
 @q(
     "pivot_status_by_priority",
     """

@@ -33,6 +33,9 @@ SUBSET = [
     # round-4 depth adds (oracled + gated; checked here too for fast CI)
     "ann_ivf_topk",
     "relevance_bm25_topk",
+    # round-5: composed refilter flagship + re-geometried simhash
+    "refilter_pipeline",
+    "simhash_pairs",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
