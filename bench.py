@@ -59,7 +59,9 @@ HEADLINE = [
     "ann_lsh_topk_bucketed",
     "ann_ivf_topk",
     "knn_join_lsh_topk",
+    "knn_join_lsh_topk_bucketed",
     "create_corpus_pipeline",
+    "refilter_pipeline",
     "doc_fingerprints",
     "sessionize_events",
     "windowed_event_agg",
@@ -147,11 +149,17 @@ def main():
     # ANN index build is its own measured phase (VERDICT r3 #5): built
     # once per sf_dir, so the ann_lsh_topk_bucketed entry below times the
     # pure probe-partition scan — the shape a deployed index has.
-    from commoncrawlscalatools_spark.queries import ensure_ann_bucketed_index
+    from commoncrawlscalatools_spark.queries import (
+        ensure_ann_bucketed_index,
+        ensure_knn_corpus_index,
+    )
 
     t0 = time.time()
     ensure_ann_bucketed_index(spark, sf_dir, force=True)
     ann_build_s = round(time.time() - t0, 3)
+    t0 = time.time()
+    ensure_knn_corpus_index(spark, sf_dir, force=True)
+    knn_build_s = round(time.time() - t0, 3)
 
     # Interleaved min-wall trials (VERDICT r3 #4): this box has documented
     # up-to-3× bursty external interference (BENCH.md), so each query runs
@@ -172,6 +180,7 @@ def main():
             dt = round(time.time() - t0, 3)
             per_query[name] = min(per_query.get(name, float("inf")), dt)
     per_query["ann_bucketed_build"] = ann_build_s
+    per_query["knn_corpus_build"] = knn_build_s
 
     # crawl throughput: one warm-up (tiny) + min-wall over measured rounds
     crawl_round_bench(spark, 10_000, 200, 20)

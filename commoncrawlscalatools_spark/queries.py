@@ -1966,20 +1966,42 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
-def ann_bucketed_index_path(sf_dir: str) -> str:
+def index_cache_path(kind: str, sf_dir: str, params: dict) -> str:
+    """Session-scratch index location, keyed on (a) the index DEFINITION
+    (every quantizer/plane/probe parameter) and (b) a CONTENT fingerprint
+    of the source embeddings table (path + mtime + size), so neither a
+    changed index definition nor regenerated data at the same path can
+    silently serve a stale index (VERDICT r4 nit / ADVICE r4 #2). In a
+    real deployment this is an Iceberg table property, not /dev/shm."""
     import hashlib
+    import os
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    return f"/dev/shm/spark-graft-ann-bucketed-{tag}"
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        content = f"{src}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        content = src
+    key = f"{content}|{sorted(params.items())!r}"
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    return f"/dev/shm/spark-graft-{kind}-{tag}"
+
+
+_ANN_BUCKETED_PARAMS = {"n_planes": 3, "seed": 7, "dim": 64}
+
+
+def ann_bucketed_index_path(sf_dir: str) -> str:
+    return index_cache_path("ann-bucketed", sf_dir, _ANN_BUCKETED_PARAMS)
 
 
 def ensure_ann_bucketed_index(spark, sf_dir: str, force: bool = False) -> str:
     """Build the write-time-bucketed ANN index for `sf_dir` ONCE per
     process/machine (VERDICT r3 #5: build and query are separate phases —
     an index build per query made the 2.85 s r3 bench number measure
-    build+query, hiding the partition-pruning win). The build is
-    deterministic in sf_dir, so a completed index (parquet _SUCCESS
-    marker) is simply reused; `force` rebuilds."""
+    build+query, hiding the partition-pruning win). The path is keyed on
+    the index params + a content fingerprint of the embeddings table
+    (index_cache_path), so a changed definition or regenerated data maps
+    to a fresh directory; `force` rebuilds in place."""
     import os
 
     path = ann_bucketed_index_path(sf_dir)
@@ -2076,16 +2098,53 @@ def ann_ivf_topk_partitioned(spark, sf_dir):
     `ann_ivf_topk` (same fixed quantizer — equality pinned in
     tests/test_similarity.py), so a second oracle would be redundant;
     the partition-pruned plan is the point (PLANS.md §IVF)."""
-    import hashlib
     import os
 
     cents = _ivf_fixed_centroids()
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = f"/dev/shm/spark-graft-ivf-{tag}"
+    path = index_cache_path(
+        "ivf", sf_dir, {"kcells": 8, "seed": 11, "dim": 64, "quantizer": "fixed"}
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         SM.write_ivf_embeddings(t(spark, sf_dir, "embeddings"), path, cents)
     return SM.ivf_cosine_topk_partitioned(
         spark, path, _query_vec(spark, sf_dir), cents, k=10, nprobe=3
+    )
+
+
+_KNN_CORPUS_PARAMS = {"n_planes": 4, "n_tables": 1, "seed": 7, "dim": 64}
+
+
+def ensure_knn_corpus_index(spark, sf_dir: str, force: bool = False) -> str:
+    """Write-time kNN-join corpus index (VERDICT r4 #3): the corpus side's
+    bucket rows, built once per (params, content) like the ANN indexes."""
+    import os
+
+    path = index_cache_path("knn-corpus", sf_dir, _KNN_CORPUS_PARAMS)
+    if force or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        SM.write_knn_corpus_buckets(
+            t(spark, sf_dir, "embeddings"), path, "embedding", "vec_id",
+            dim=64, n_planes=4, n_tables=1, seed=7,
+        )
+    return path
+
+
+@q("knn_join_lsh_topk_bucketed", _knn_lsh_oracle())
+def knn_join_lsh_topk_bucketed(spark, sf_dir):
+    """The amortized kNN-join query path (VERDICT r4 #3): the corpus side's
+    bucket rows are precomputed and hive-partitioned at WRITE time
+    (ensure_knn_corpus_index); a query batch builds only its probe rows
+    and joins against the pruned probe partitions. Same hyperplanes,
+    masks and ranking as knn_join_lsh_topk ⇒ the IDENTICAL oracle; the
+    per-call corpus hashing (the 5.97 s floor's main term) moves into the
+    one-time build, reported separately as `knn_corpus_build`."""
+    path = ensure_knn_corpus_index(spark, sf_dir)
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    return SM.knn_join_lsh_bucketed(
+        spark, path, qs, "qv", "q_id", "embedding", "vec_id",
+        k=5, dim=64, n_planes=4, probe_bits=1,
     )
 
 
@@ -2102,8 +2161,12 @@ def ann_ivf_topk_partitioned(spark, sf_dir):
 #     (COVERAGE.md §2.6 note).
 #   * corpus_filenames — its F11 filename derivation is subsumed by the
 #     gated create_corpus_pipeline (same formula, end-to-end).
+#   * knn_join_lsh_topk — its bucketed twin stays gated with the
+#     IDENTICAL oracle and identical result rows (r5, mirrors
+#     ann_lsh_topk's yield).
 _YIELD_FIRST_UNDER_CAP = [
     "ann_lsh_topk",
+    "knn_join_lsh_topk",
     "corpus_filenames",
     "running_value_per_user",
     "pivot_status_by_priority",

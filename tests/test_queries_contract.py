@@ -36,6 +36,10 @@ SUBSET = [
     # round-5: composed refilter flagship + re-geometried simhash
     "refilter_pipeline",
     "simhash_pairs",
+    # knn_join_lsh_topk yields to its bucketed twin under the driver cap
+    # (identical oracle); both value-checked here
+    "knn_join_lsh_topk",
+    "knn_join_lsh_topk_bucketed",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()

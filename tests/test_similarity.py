@@ -155,6 +155,65 @@ def test_knn_join_lsh_pairs_unique_and_ranked(spark, sf_dir):
         assert sims == sorted(sims, reverse=True)
 
 
+def test_knn_join_bucketed_matches_per_query_and_prunes(spark, sf_dir, tmp_path):
+    """Write-time kNN-join corpus index (VERDICT r4 #3): identical results
+    to knn_join_lsh (same planes/masks/rank), and the probe filter reaches
+    the partition level of the prebuilt corpus table."""
+    import re
+
+    from commoncrawlscalatools_spark.operators.similarity import (
+        knn_join_lsh,
+        knn_join_lsh_bucketed,
+        write_knn_corpus_buckets,
+    )
+
+    corpus = _embeddings(spark, sf_dir)
+    qs = corpus.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    path = str(tmp_path / "knn_corpus")
+    write_knn_corpus_buckets(corpus, path, "embedding", "vec_id", dim=64, n_planes=4)
+
+    got = knn_join_lsh_bucketed(
+        spark, path, qs, "qv", "q_id", "embedding", "vec_id",
+        k=5, dim=64, n_planes=4, probe_bits=1,
+    )
+    expected = knn_join_lsh(
+        qs, corpus, "qv", "embedding", "q_id", "vec_id",
+        k=5, dim=64, n_planes=4, probe_bits=1,
+    )
+    key = lambda r: (r["q_id"], r["vec_id"])  # noqa: E731
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert m and "__bucket" in m.group(1), plan[:2000]
+
+
+def test_index_cache_path_keys_on_params_and_content(tmp_path):
+    """The session index cache must miss when the index DEFINITION or the
+    source data changes (VERDICT r4 nit / ADVICE r4 #2): same inputs →
+    same path; different params or touched data → different path."""
+    import os
+    import time
+
+    from commoncrawlscalatools_spark.queries import index_cache_path
+
+    sf = str(tmp_path)
+    src = os.path.join(sf, "embeddings.parquet")
+    with open(src, "wb") as f:
+        f.write(b"x" * 100)
+
+    p1 = index_cache_path("ann", sf, {"n_planes": 3, "seed": 7})
+    assert p1 == index_cache_path("ann", sf, {"n_planes": 3, "seed": 7})
+    assert p1 != index_cache_path("ann", sf, {"n_planes": 4, "seed": 7})
+    assert p1 != index_cache_path("ivf", sf, {"n_planes": 3, "seed": 7})
+
+    time.sleep(0.01)
+    os.utime(src)  # regenerated data at the same path
+    assert p1 != index_cache_path("ann", sf, {"n_planes": 3, "seed": 7})
+
+
 def test_cosine_near_dup_recall_on_planted_dups(spark, sf_dir):
     """Planted near-duplicate vectors (tiny perturbations, cosine ≈ 0.99)
     must be found by the LSH-bucketed pair scan with high recall — true
