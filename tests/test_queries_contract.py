@@ -40,6 +40,14 @@ SUBSET = [
     # (identical oracle); both value-checked here
     "knn_join_lsh_topk",
     "knn_join_lsh_topk_bucketed",
+    # r5 cap yields (redundant driver anchors — see _YIELD_FIRST_UNDER_CAP
+    # notes in queries.py): value-checked here instead
+    "minhash_dedup_survivors",
+    "tld_counts",
+    "customers_without_orders",
+    # r5 report jobs over the engine's own frozen store tables
+    "parse_progress_report",
+    "docs_by_category_report",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
