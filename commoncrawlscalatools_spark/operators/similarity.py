@@ -221,8 +221,23 @@ def kmeans_centroids(
         .collect()
     )
     x = np.array([r["v"] for r in rows], dtype=np.float64)
+    if x.ndim != 2 or x.shape[0] < k:
+        raise ValueError(
+            f"kmeans sample has {0 if x.ndim != 2 else x.shape[0]} vectors, "
+            f"need >= k={k}"
+        )
+    if dim != x.shape[1]:
+        raise ValueError(f"dim={dim} but sample vectors have {x.shape[1]} components")
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    cent = x[:k].copy()
+    # seed from the first k DISTINCT normalized vectors: duplicate rows in
+    # the sample must not spawn duplicate centroids (dead clusters)
+    _, first_idx = np.unique(x, axis=0, return_index=True)
+    seed_idx = np.sort(first_idx)[:k]
+    if len(seed_idx) < k:
+        raise ValueError(
+            f"sample holds only {len(seed_idx)} distinct vectors, need >= k={k}"
+        )
+    cent = x[seed_idx].copy()
     for _ in range(iters):
         sims = x @ cent.T
         assign = np.argmax(sims, axis=1)

@@ -2251,6 +2251,71 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+def _ivf_centroids_fixture() -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "ivf_centroids.parquet",
+    )
+
+
+def _ann_ivf_trained_oracle(k: int = 10, nprobe: int = 3) -> str:
+    """Trained-quantizer IVF oracle (VERDICT r4 #5): instead of inlined
+    centroid literals, DuckDB JOINS the frozen centroid table — the same
+    parquet the Spark query reads — and reproduces assignment (argmax dot,
+    ties → lowest cell_id), probe selection and re-rank. Dots rounded to
+    9 decimals, the shared tie-break contract of ivf_assign_expr."""
+    path = _ivf_centroids_fixture()
+    return f"""
+    WITH c AS (SELECT cell_id,
+                      list_transform(centroid, x -> x::DOUBLE) AS cv
+               FROM read_parquet('{path}')),
+    e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS ev
+          FROM embeddings),
+    q AS (SELECT ev AS qv FROM e WHERE vec_id = 0),
+    assign AS (
+      SELECT vec_id, ev, cell_id FROM (
+        SELECT e.vec_id AS vec_id, e.ev AS ev, c.cell_id AS cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_dot_product(e.ev, c.cv), 9) DESC, c.cell_id
+               ) AS rn
+        FROM e CROSS JOIN c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT c.cell_id FROM q CROSS JOIN c
+      ORDER BY round(list_dot_product(q.qv, c.cv), 9) DESC, c.cell_id
+      LIMIT {nprobe})
+    SELECT vec_id, cos_sim FROM (
+      SELECT a.vec_id AS vec_id,
+             round(list_dot_product(a.ev, q.qv)
+                   / (sqrt(list_dot_product(a.ev, a.ev))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      FROM assign a, q WHERE a.cell_id IN (SELECT cell_id FROM probes))
+    ORDER BY cos_sim DESC, vec_id LIMIT {k}
+    """
+
+
+@q("ann_ivf_topk_trained", _ann_ivf_trained_oracle())
+def ann_ivf_topk_trained(spark, sf_dir):
+    """IVF ANN with the kmeans-TRAINED quantizer (VERDICT r4 #5): the
+    centroids live in a parquet table (frozen by tools/make_ivf_centroids
+    .py from SM.kmeans_centroids, whose training parity is pinned by the
+    independent numpy pytest) that BOTH engines read — the oracle joins it
+    instead of inlining literals, gating the trained path end-to-end. The
+    centroid load is an O(k·dim) bounded collect, the IVF plan is the same
+    assignment/probe/re-rank as ann_ivf_topk."""
+    import pandas as pd
+
+    cdf = pd.read_parquet(_ivf_centroids_fixture()).sort_values("cell_id")
+    cents = [[float(x) for x in c] for c in cdf["centroid"]]
+    e = t(spark, sf_dir, "embeddings")
+    return SM.ivf_cosine_topk(
+        e, _query_vec(spark, sf_dir), cents, "embedding", "vec_id", k=10, nprobe=3
+    )
+
+
 @q("ann_ivf_topk_partitioned")
 def ann_ivf_topk_partitioned(spark, sf_dir):
     """The IVF scale path: cells assigned at WRITE time, table
@@ -2334,9 +2399,14 @@ def knn_join_lsh_topk_bucketed(spark, sf_dir):
 #   * customers_without_orders — returns 0 rows at the gate's sf (a
 #     weak driver anchor); the anti-join shape stays gated via
 #     url_seen_antijoin.
+#   * ann_ivf_topk — the fixed-quantizer IVF; the TRAINED-quantizer twin
+#     (ann_ivf_topk_trained, r5) is the stronger driver anchor for the
+#     same assignment/probe/re-rank plan, and the fixed variant stays
+#     equality-pinned to its partitioned twin in pytest + CI-value-checked.
 _YIELD_FIRST_UNDER_CAP = [
     "ann_lsh_topk",
     "knn_join_lsh_topk",
+    "ann_ivf_topk",
     "minhash_dedup_survivors",
     "tld_counts",
     "customers_without_orders",

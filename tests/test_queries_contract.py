@@ -48,6 +48,8 @@ SUBSET = [
     # r5 report jobs over the engine's own frozen store tables
     "parse_progress_report",
     "docs_by_category_report",
+    # r5 trained-quantizer IVF (oracle joins the frozen centroid table)
+    "ann_ivf_topk_trained",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()

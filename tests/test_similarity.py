@@ -289,6 +289,44 @@ def test_ivf_trained_matches_numpy_oracle_and_recall(spark, sf_dir):
     assert [tuple(r) for r in got_r] == [tuple(r) for r in got]
 
 
+def test_ivf_trained_fixture_recall_vs_fixed_quantizer(spark, sf_dir):
+    """The frozen trained quantizer (tests/fixtures/ivf_centroids.parquet,
+    the gated ann_ivf_topk_trained input) must be a real quantizer: k
+    distinct L2-normalized centroids, and recall@10 vs brute force at
+    nprobe=3 at least matching the fixed hyperplane quantizer's (the
+    trained cells follow the data distribution; pinned per VERDICT r4
+    #5)."""
+    import pandas as pd
+
+    from commoncrawlscalatools_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+    from commoncrawlscalatools_spark.queries import (
+        _ivf_centroids_fixture,
+        _ivf_fixed_centroids,
+    )
+
+    cdf = pd.read_parquet(_ivf_centroids_fixture()).sort_values("cell_id")
+    trained = [[float(x) for x in c] for c in cdf["centroid"]]
+    assert len(trained) == 8 and len(set(map(tuple, trained))) == 8
+    for c in trained:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9  # L2-normalized
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in e.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    brute = {r["vec_id"] for r in cosine_topk(e, q, k=10).collect()}
+
+    def recall(cents):
+        got = {r["vec_id"] for r in ivf_cosine_topk(e, q, cents, k=10, nprobe=3).collect()}
+        return len(got & brute) / 10
+
+    r_trained = recall(trained)
+    r_fixed = recall(_ivf_fixed_centroids())
+    assert r_trained >= r_fixed, (r_trained, r_fixed)
+    assert r_trained >= 0.5
+
+
 def test_ivf_partitioned_matches_in_plan_variant_and_prunes(spark, sf_dir, tmp_path):
     """Write-time IVF (Voronoi twin of the bucketed LSH index): the
     partitioned table must return EXACTLY the in-plan ivf_cosine_topk
