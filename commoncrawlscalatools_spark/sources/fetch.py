@@ -209,6 +209,117 @@ def extract_documents(with_payload: DataFrame) -> DataFrame:
     return src.mapInArrow(extract, DOC_SCHEMA)
 
 
+HTTP_FETCH_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("fetch_seq", T.IntegerType(), False),
+        T.StructField("not_before_ms", T.LongType(), True),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("payload", T.StringType(), True),
+        T.StructField("fetch_ts_ms", T.LongType(), False),
+    ]
+)
+
+
+def http_fetch_polite(
+    scheduled: DataFrame,
+    base_url: str,
+    round_start_ms: int | None = None,
+    timeout_s: float = 10.0,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """The PRODUCTION fetch stage (S3): real HTTP GETs honoring the
+    politeness plan in WALL-CLOCK time — the reference's per-path fetch
+    with crawl-delay sleeps (ProcessWETPaths.scala:70,110), distributed.
+
+    The scheduler's `not_before_ms` is a logical offset (frontier.py:
+    schedule_round — host_ready + (fetch_seq-1)·crawl_delay); here it
+    becomes real time: row r of host h is fetched no earlier than
+    max(`round_start_ms + r.not_before_ms`, previous fetch on h +
+    `crawl_delay_ms`) epoch ms — the second term is the reference's
+    actual sleep-between-fetches behavior, and it is what still spaces a
+    host's fetches when task start-up latency has already moved the
+    absolute instants into the past. Rows are grouped per
+    HOST (applyInPandas) so one task owns a host's whole sequence and
+    executes it serially in fetch_seq order — per-host spacing is
+    enforced by construction while distinct hosts fetch in parallel
+    across the cluster (the same cogroup shape at any executor count).
+    `base_url` maps a crawl URL to the wire target (test server, proxy,
+    or '' to call the URL itself); response bodies stream back as the
+    `payload` column feeding extract_documents unchanged, plus the
+    actual `fetch_ts_ms` so politeness is auditable from the data
+    (tests/test_http_fetch.py pins real inter-fetch spacing)."""
+    import time as _time
+
+    from urllib.parse import quote
+
+    start_ms = int(_time.time() * 1000) if round_start_ms is None else round_start_ms
+
+    def fetch_host(pdf):
+        import time
+        import urllib.request
+
+        import pandas as pd
+
+        pdf = pdf.sort_values("fetch_seq")
+        out = {k: [] for k in ("url", "host", "fetch_seq", "not_before_ms",
+                               "status", "payload", "fetch_ts_ms")}
+        last_fetch_s = None
+        for row in pdf.itertuples(index=False):
+            nb = getattr(row, "not_before_ms", None)
+            target_s = 0.0
+            if nb is not None and not pd.isna(nb):
+                target_s = (start_ms + int(nb)) / 1000.0
+            cd = getattr(row, "crawl_delay_ms", None)
+            if (
+                last_fetch_s is not None
+                and cd is not None
+                and not pd.isna(cd)
+            ):
+                target_s = max(target_s, last_fetch_s + int(cd) / 1000.0)
+            delay = target_s - time.time()
+            if delay > 0:
+                time.sleep(delay)
+            t_fetch = int(time.time() * 1000)
+            last_fetch_s = t_fetch / 1000.0
+            target = (
+                base_url + quote(str(row.url), safe="") if base_url else str(row.url)
+            )
+            try:
+                with urllib.request.urlopen(target, timeout=timeout_s) as resp:
+                    status = int(resp.status)
+                    body = resp.read().decode("utf-8", errors="replace")
+            except Exception:
+                status, body = 599, None
+            out["url"].append(str(row.url))
+            out["host"].append(str(row.host))
+            out["fetch_seq"].append(int(row.fetch_seq))
+            out["not_before_ms"].append(None if nb is None or pd.isna(nb) else int(nb))
+            out["status"].append(status)
+            out["payload"].append(body)
+            out["fetch_ts_ms"].append(t_fetch)
+        return pd.DataFrame(out)
+
+    cols = ["url", "host", "fetch_seq", "not_before_ms"]
+    if "crawl_delay_ms" in scheduled.columns:
+        cols.append("crawl_delay_ms")
+    # Pin the host partitioning EXPLICITLY: a fetch task is TIME-bound
+    # (sleep-dominated), not data-bound, so AQE's small-partition
+    # coalescing — correct for byte-sized work — would fold every host
+    # group onto one task and serialize all hosts' crawl-delay sleeps
+    # (measured: 4 hosts back-to-back on this box). A user repartition is
+    # exempt from AQE coalescing, and groupBy over an already
+    # host-partitioned child elides its own exchange.
+    n = num_tasks or scheduled.sparkSession.sparkContext.defaultParallelism
+    return (
+        scheduled.select(*cols)
+        .repartition(n, "host")
+        .groupBy("host")
+        .applyInPandas(fetch_host, HTTP_FETCH_SCHEMA)
+    )
+
+
 def fetch_and_extract(scheduled: DataFrame, n_hosts: int = 1000) -> DataFrame:
     """Fetch stage entry. The scheduler hands us host-hash-partitioned rows
     (politeness window output) — hot hosts make those partitions skewed, and
