@@ -294,13 +294,53 @@ def stream_filter_stats_timed(
     mentions = mention_count(text, keywords)
     detail = detail_check_expr(text, keywords, max_chunks)
     phase1 = mentions >= minmentions
+    outcomes = {
+        "accepted": phase1 & detail,
+        "rejected_detail": phase1 & ~detail,
+        "rejected_no_detail": ~phase1,
+    }
+    # per-outcome mention sums ride along so the untimed outcome table is
+    # fully DERIVABLE from these per-batch rows (one regexp pass serves
+    # both stats tables — ADVICE r4 #5; stream_stats_from_timed below)
     pre = df.select(
-        (phase1 & detail).cast("long").alias("accepted"),
-        (phase1 & ~detail).cast("long").alias("rejected_detail"),
-        (~phase1).cast("long").alias("rejected_no_detail"),
+        *[cond.cast("long").alias(name) for name, cond in outcomes.items()],
         mentions.cast("long").alias("total_mentions"),
+        *[
+            F.when(cond, mentions).otherwise(F.lit(0))
+            .cast("long").alias(f"mentions_{name}")
+            for name, cond in outcomes.items()
+        ],
     )
-    return timed_batch_stats(pre, STREAM_OUTCOME_COLS + ["total_mentions"])
+    return timed_batch_stats(
+        pre,
+        STREAM_OUTCOME_COLS
+        + ["total_mentions"]
+        + [f"mentions_{n}" for n in STREAM_OUTCOME_COLS],
+    )
+
+
+def stream_stats_from_timed(per_batch: DataFrame) -> DataFrame:
+    """Derive the untimed `stream_filter_stats` outcome table (outcome,
+    n_docs, total_mentions) from the timed per-batch rows — the counts are
+    sums of sums, so ONE regexp pass feeds both the oracle-gated outcome
+    aggregate and the timing table (ADVICE r4 #5; equality with the direct
+    one-pass table pinned in tests/test_filters.py). Zero-doc outcomes are
+    absent, matching the direct groupBy."""
+    rows = []
+    for name in STREAM_OUTCOME_COLS:
+        rows.append(
+            F.struct(
+                F.lit(name).alias("outcome"),
+                F.sum(name).alias("n_docs"),
+                F.sum(f"mentions_{name}").alias("total_mentions"),
+            )
+        )
+    agg = per_batch.agg(F.array(*rows).alias("__rows"))
+    return (
+        agg.select(F.explode("__rows").alias("r"))
+        .select("r.outcome", "r.n_docs", "r.total_mentions")
+        .filter(F.col("n_docs") > 0)
+    )
 
 
 def topic_filter_stats_timed(
@@ -324,6 +364,33 @@ def topic_filter_stats_timed(
         ]
         sum_cols += [f"accepted_{cat}", f"core_{cat}", f"sec_{cat}"]
     return timed_batch_stats(df.select(*cols), sum_cols)
+
+
+def topic_stats_from_timed(
+    per_batch: DataFrame, config: TopicFilterConfig | None = None
+) -> DataFrame:
+    """Derive the untimed `topic_filter_stats` per-category table from the
+    timed per-batch rows (ADVICE r4 #5 — one regexp pass per family):
+    checked = Σ n_docs (every doc is checked for every category), the
+    rest are sums of the per-batch category sums. Equality with the
+    direct table pinned in tests/test_filters.py."""
+    config = config or TopicFilterConfig()
+    rows = []
+    for cat in config.core:
+        rows.append(
+            F.struct(
+                F.lit(cat).alias("category"),
+                F.sum("n_docs").alias("checked"),
+                F.sum(f"accepted_{cat}").alias("accepted"),
+                F.sum(f"core_{cat}").alias("total_core_mentions"),
+                F.sum(f"sec_{cat}").alias("total_secondary_mentions"),
+            )
+        )
+    agg = per_batch.agg(F.array(*rows).alias("__rows"))
+    return agg.select(F.explode("__rows").alias("r")).select(
+        "r.category", "r.checked", "r.accepted",
+        "r.total_core_mentions", "r.total_secondary_mentions",
+    )
 
 
 def summarize_timed_stats(per_batch: DataFrame) -> DataFrame:

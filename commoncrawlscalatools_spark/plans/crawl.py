@@ -282,39 +282,51 @@ class CrawlEngine:
 
             def _write_filter_stats():
                 t_fs = time.time()
-                # the timed variants measure per-Arrow-batch processing
-                # time (reference parity: StreamFilterStatsWriter recorded
-                # processing_time per record) and their counts reconcile
-                # exactly with the untimed tables; the untimed tables stay
-                # the oracle-gated outcome/category aggregates
-                self.store.write(
-                    "stream_filter_stats",
-                    FL.stream_filter_stats(txt).withColumn("round", F.lit(round_no)),
-                    round_no,
-                    coalesce=1,
-                )
-                self.store.write(
-                    "stream_filter_timing",
-                    FL.summarize_timed_stats(
-                        FL.stream_filter_stats_timed(txt)
-                    ).withColumn("round", F.lit(round_no)),
-                    round_no,
-                    coalesce=1,
-                )
-                self.store.write(
-                    "topic_filter_stats",
-                    FL.topic_filter_stats(txt).withColumn("round", F.lit(round_no)),
-                    round_no,
-                    coalesce=1,
-                )
-                self.store.write(
-                    "topic_filter_timing",
-                    FL.summarize_timed_stats(
-                        FL.topic_filter_stats_timed(txt)
-                    ).withColumn("round", F.lit(round_no)),
-                    round_no,
-                    coalesce=1,
-                )
+                # ONE regexp pass per stats family (ADVICE r4 #5): the
+                # timed per-batch rows (reference parity:
+                # StreamFilterStatsWriter recorded processing_time per
+                # record) are materialized once, and BOTH the oracle-gated
+                # outcome/category aggregates and the timing summaries
+                # derive from them — the derived counts are pinned equal
+                # to the direct one-pass tables in tests/test_filters.py.
+                stream_pb = FL.stream_filter_stats_timed(txt).persist()
+                topic_pb = FL.topic_filter_stats_timed(txt).persist()
+                try:
+                    self.store.write(
+                        "stream_filter_stats",
+                        FL.stream_stats_from_timed(stream_pb).withColumn(
+                            "round", F.lit(round_no)
+                        ),
+                        round_no,
+                        coalesce=1,
+                    )
+                    self.store.write(
+                        "stream_filter_timing",
+                        FL.summarize_timed_stats(stream_pb).withColumn(
+                            "round", F.lit(round_no)
+                        ),
+                        round_no,
+                        coalesce=1,
+                    )
+                    self.store.write(
+                        "topic_filter_stats",
+                        FL.topic_stats_from_timed(topic_pb).withColumn(
+                            "round", F.lit(round_no)
+                        ),
+                        round_no,
+                        coalesce=1,
+                    )
+                    self.store.write(
+                        "topic_filter_timing",
+                        FL.summarize_timed_stats(topic_pb).withColumn(
+                            "round", F.lit(round_no)
+                        ),
+                        round_no,
+                        coalesce=1,
+                    )
+                finally:
+                    stream_pb.unpersist()
+                    topic_pb.unpersist()
                 filter_stats_wall_ms[0] = int((time.time() - t_fs) * 1000)
 
             side_commits.append(_COMMIT_POOL.submit(_write_filter_stats))

@@ -215,7 +215,15 @@ class SnapshotStore:
         (if any) plus all published deltas above it up to `version` —
         one multi-path parquet scan whose path count `compact()` keeps
         bounded."""
-        return self.spark.read.parquet(*self.read_paths(table, version))
+        reader = self.spark.read
+        if self._read_manifest(table).get("append"):
+            # an append-mode table's history can span code versions that
+            # added columns (e.g. metrics gained phase_*_ms fields):
+            # without mergeSchema the multi-path scan takes the FIRST
+            # file's schema and silently nulls-or-drops newer columns
+            # (ADVICE r4 #3). Old deltas surface the new columns as NULL.
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*self.read_paths(table, version))
 
     def exists(self, table: str) -> bool:
         return self.latest_version(table) is not None

@@ -221,6 +221,52 @@ def test_timed_stats_reconcile_with_untimed(spark, sf_dir):
         assert tsum[f"sec_{cat}"] == sec, cat
 
 
+def test_untimed_tables_derive_exactly_from_timed(spark, sf_dir):
+    """ADVICE r4 #5: the engine now computes ONE timed per-batch pass per
+    stats family and derives the oracle-gated untimed tables from it —
+    the derived tables must equal the direct one-pass aggregates row for
+    row."""
+    from commoncrawlscalatools_spark.operators.filters import (
+        TopicFilterConfig,
+        stream_filter_stats,
+        stream_filter_stats_timed,
+        stream_stats_from_timed,
+        topic_filter_stats,
+        topic_filter_stats_timed,
+        topic_stats_from_timed,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kws = ["join", "scan"]
+    direct = sorted(
+        map(tuple, stream_filter_stats(d, "text", kws, minmentions=3).collect())
+    )
+    derived = sorted(
+        map(
+            tuple,
+            stream_stats_from_timed(
+                stream_filter_stats_timed(d, "text", kws, minmentions=3)
+            ).collect(),
+        )
+    )
+    assert direct == derived
+
+    cfg = TopicFilterConfig(
+        core={"joins": ["join"], "scans": ["scan"]},
+        secondary={"joins": ["merge", "hash"], "scans": ["table", "filter"]},
+    )
+    tdirect = sorted(map(tuple, topic_filter_stats(d, "text", cfg).collect()))
+    tderived = sorted(
+        map(
+            tuple,
+            topic_stats_from_timed(
+                topic_filter_stats_timed(d, "text", cfg), cfg
+            ).collect(),
+        )
+    )
+    assert tdirect == tderived
+
+
 def test_engine_commits_filter_stats_tables(spark, tmp_path):
     """collect_filter_stats=True commits per-round stream/topic stats
     tables whose outcome counts sum to the round's doc count."""

@@ -111,3 +111,25 @@ def test_non_append_tables_keep_full_snapshot_semantics(spark, tmp_path):
     assert store.read("frontier", 0).count() == 3
     assert store.read("frontier", 1).count() == 7
     assert store.read("frontier").count() == 7
+
+
+def test_append_mode_mixed_schema_history_merges(spark, tmp_path):
+    """A code upgrade that adds columns to an append-mode table (metrics
+    gained phase_*_ms fields in r4) must not silently drop them when the
+    history mixes old- and new-schema deltas (ADVICE r4 #3): reads merge
+    schemas, old rows surface the new column as NULL."""
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(spark, str(tmp_path / "st"))
+    old = spark.range(1).select(F.lit(1).alias("round"), F.lit(10).alias("docs"))
+    new = spark.range(1).select(
+        F.lit(2).alias("round"), F.lit(20).alias("docs"),
+        F.lit(123).alias("phase_fetch_ms"),
+    )
+    store.write("metrics", old, 1, coalesce=1, append=True)
+    store.write("metrics", new, 2, coalesce=1, append=True)
+    got = store.read("metrics")
+    assert "phase_fetch_ms" in got.columns
+    rows = {r["round"]: r for r in got.collect()}
+    assert rows[1]["phase_fetch_ms"] is None
+    assert rows[2]["phase_fetch_ms"] == 123
