@@ -156,9 +156,14 @@ def parse_wet_archive(
     cols = [F.col(path_col), F.col("record_pos")]
     for col_name, header in _HEADERS.items():
         cols.append(_header(F.col("block"), header).alias(col_name))
-    # body = everything after the first blank line
+    # body = everything after the first blank line. The reference TRIMS
+    # record content with Java String.trim() — both ends, every char
+    # ≤ U+0020 (Parser.scala:315 reads Content-Length+2 bytes then
+    # .trim()) — so trailing spaces/tabs go too, not just the record
+    # separator CRLFs. (r5: the raw-bytes golden pin in test_wet_gz
+    # caught the earlier [\r\n]+$-only form keeping a trailing space.)
     raw_body = F.regexp_extract(F.col("block"), r"(?s)\r?\n\r?\n(.*)$", 1)
-    body = F.regexp_replace(raw_body, r"[\r\n]+$", "")
+    body = F.regexp_replace(raw_body, r"^[\x00-\x20]+|[\x00-\x20]+$", "")
     cols.append(F.when(body != "", body).alias("content"))
     # the reference reads exactly Content-Length bytes and hits EOF on a
     # truncated record (Parser FSA → incomplete, dropped): a record is

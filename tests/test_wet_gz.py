@@ -207,3 +207,70 @@ def test_stream_filter_and_topic_on_real_records(parsed_all):
     rows = topic_categorize(kept, text_col="content").collect()
     assert len(rows) == 1
     assert list(rows[0]["categories"]) == ["evolution"]
+
+
+def test_golden_record_fields_pinned_to_raw_fixture_bytes():
+    """ADVICE r4 #1 (golden circularity): the frozen golden parquet is
+    generated by the engine's own parser, so this test re-derives the
+    record-level fields (id, target URI, content length, content md5)
+    straight from the RAW fixture bytes with an INDEPENDENT minimal
+    parser — plain gzip + byte-offset header walk, no FSA, no Spark —
+    and pins the golden's clean-fixture rows against it. Any semantic
+    divergence frozen into the golden would break here."""
+    import gzip
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures", "wet")
+    golden = pd.read_parquet(os.path.join(fixdir, "expected_records.parquet"))
+
+    def naive_parse(path):
+        """Independent re-derivation: split records on 'WARC/1.0\\r\\n',
+        read headers up to the blank line, slice exactly Content-Length
+        bytes of payload."""
+        raw = gzip.open(path, "rb").read()
+        out = []
+        pos = 0
+        while True:
+            start = raw.find(b"WARC/1.0\r\n", pos)
+            if start < 0:
+                break
+            hdr_end = raw.find(b"\r\n\r\n", start)
+            headers = {}
+            for line in raw[start:hdr_end].split(b"\r\n")[1:]:
+                k, _, v = line.partition(b": ")
+                headers[k.decode()] = v.decode()
+            clen = int(headers["Content-Length"])
+            body = raw[hdr_end + 4 : hdr_end + 4 + clen]
+            # the REFERENCE trims record content (Parser.scala:315 reads
+            # Content-Length+2 bytes then .trim()) — apply the same
+            # documented transform to the raw slice
+            content = body.decode("utf-8").strip()
+            out.append(
+                {
+                    "record_kind": headers["WARC-Type"],
+                    "record_id": headers["WARC-Record-ID"],
+                    "target_uri": headers.get("WARC-Target-URI"),
+                    "content_length": clen,
+                    "content_md5": hashlib.md5(content.encode("utf-8")).hexdigest(),
+                }
+            )
+            pos = hdr_end + 4 + clen
+        return out
+
+    # clean fixtures: every raw record is complete and valid, so the
+    # engine's output must match the naive byte walk 1:1
+    for fixture in ("fragment3.wet.gz", "filter_test_1.wet.gz"):
+        raw_records = naive_parse(os.path.join(fixdir, fixture))
+        g = golden[golden.fixture == fixture].sort_values("record_pos")
+        assert len(g) == len(raw_records), fixture
+        for grow, rrec in zip(g.itertuples(index=False), raw_records):
+            assert grow.record_kind == rrec["record_kind"], (fixture, grow)
+            assert grow.record_id == rrec["record_id"], (fixture, grow)
+            assert grow.target_uri == rrec["target_uri"], (fixture, grow)
+            assert int(grow.content_length) == rrec["content_length"], (fixture, grow)
+            # content bytes themselves: md5 over the raw Content-Length
+            # slice must equal the engine's md5 over its parsed content
+            assert grow.content_md5 == rrec["content_md5"], (fixture, grow)
