@@ -243,13 +243,26 @@ class CrawlEngine:
             F.count(F.lit(1)).alias("n_scheduled"),
             F.sum(F.col("fetch_failed").cast("long")).alias("n_failed_fetches"),
         ).filter(~F.col("fetch_failed"))
-        docs = FE.fetch_and_extract(ok, n_hosts=cfg.n_hosts).observe(
-            obs_docs,
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size("spans")).alias("n_spans"),
-            F.sum(F.size("outlinks")).alias("n_links"),
+        docs = (
+            FE.fetch_and_extract(ok, n_hosts=cfg.n_hosts)
+            .observe(
+                obs_docs,
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size("spans")).alias("n_spans"),
+                F.sum(F.size("outlinks")).alias("n_links"),
+            )
+            .persist()
         )
-        self.store.write("documents", docs, round_no, coalesce=cfg.doc_coalesce)
+        # ONE fetch pass materializes the round's documents into the block
+        # cache (round size is budget-bounded, so the cache is too); the
+        # columnar WRITE then serializes from cache on a pool thread and
+        # OVERLAPS the outlink/seen feedback chain below — r4 phase data
+        # showed fetch_docs_commit (5.0 s) + feedback_seen_commit (3.4 s)
+        # back-to-back as the dominant serial span of a store-backed round
+        # (VERDICT r4 next #8). The write stays inside the round protocol:
+        # its future joins at the side-commit barrier before the frontier
+        # marker publishes.
+        docs.count()
         dvals = obs_docs.get
         n_docs = int(dvals["n_docs"] or 0)
         n_spans = int(dvals["n_spans"] or 0)
@@ -257,7 +270,14 @@ class CrawlEngine:
         svals = obs_sched.get
         n_scheduled = int(svals["n_scheduled"] or 0)
         n_failed_fetches = int(svals["n_failed_fetches"] or 0)
-        docs = self.store.read("documents", round_no)  # re-read: one fetch pass
+        docs_write_wall_ms = [0]
+
+        def _write_documents():
+            t_dw = time.time()
+            self.store.write("documents", docs, round_no, coalesce=cfg.doc_coalesce)
+            docs_write_wall_ms[0] = int((time.time() - t_dw) * 1000)
+
+        docs_commit = _COMMIT_POOL.submit(_write_documents)
         t_docs = time.time()
 
         # Fixed per-round commit overhead is the small-round scaling killer
@@ -559,8 +579,10 @@ class CrawlEngine:
         # before publish ⇒ resume re-runs the round).
         self.store.write_unpublished(frontier_next, "frontier", round_no)
         t_frontier_data = time.time()
-        # barrier: every concurrent side commit must be durable before the
-        # marker (exceptions re-raise here → the round fails un-marked)
+        # barrier: every concurrent side commit — documents included —
+        # must be durable before the marker (exceptions re-raise here →
+        # the round fails un-marked)
+        docs_commit.result()
         for fut in side_commits:
             fut.result()
         t_barrier = time.time()
@@ -583,7 +605,11 @@ class CrawlEngine:
         metrics["retrying_urls"] = int(fvals["n_retrying"] or 0)
         metrics["finished_urls"] = int(lvals["n_done"] or 0)  # this round
         metrics["failed_urls"] = int(lvals["n_failed"] or 0)  # this round
+        metrics["docs_write_wall_ms"] = docs_write_wall_ms[0]
         phase_ms = {
+            # r5: this phase is the fetch+extract MATERIALIZATION; the
+            # documents write itself overlaps the feedback chain on a pool
+            # thread (its wall is metrics.docs_write_wall_ms)
             "fetch_docs_commit": int((t_docs - t0) * 1000),
             "feedback_seen_commit": int((t_seen - t_docs) * 1000),
             "filter_maintenance_submit": int((t_filter_maint - t_seen) * 1000),
@@ -639,6 +665,7 @@ class CrawlEngine:
 
         transitions.unpersist()
         outcome.unpersist()
+        docs.unpersist()
         new_frontier_rows.unpersist()
         if flagged_cache is not None:
             flagged_cache.unpersist()
