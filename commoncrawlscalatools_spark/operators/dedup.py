@@ -500,3 +500,154 @@ def simhash_dropped_buckets(
         .count()
         .filter(F.col("count") > max_bucket)
     )
+
+
+# ----- Connected components (transitive duplicate sets) ----------------------
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star step: every neighbor of u that is LARGER than u is
+    re-pointed at min(Γ(u) ∪ {u}). One symmetrize + one groupBy."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    mins = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star step: orient each edge max→min, then point every
+    smaller-side neighbor (and u itself) at the minimum neighbor."""
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    nbr = (
+        o.join(mins, "u")
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_e = mins.filter(F.col("u") != F.col("m")).select(
+        "u", F.col("m").alias("v")
+    )
+    return nbr.union(self_e).distinct()
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components of an undirected edge list via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public algorithm). Returns
+    (node, comp) where comp is the component's minimum node id.
+
+    Scale notes (100 TB): each iteration is two groupBy shuffles over the
+    CURRENT edge set (which only shrinks toward star edges); convergence is
+    O(log² n) iterations worst-case and 1–3 in practice for near-dup
+    graphs (mostly cliques). Lineage is truncated every iteration with an
+    eager localCheckpoint — without it the plan doubles per iteration and
+    Catalyst analysis time explodes. Convergence is detected by an
+    order-independent edge-set signature (count + sum of xxhash64), never
+    by collecting edges. The reference has no CC operator — its winner
+    walk (createCorpus.scala:416-442) handles only per-bucket sets; CC
+    generalizes winner selection to TRANSITIVE duplicate sets (a~b, b~c
+    ⇒ one survivor among {a,b,c}), the semantics large-scale training-data
+    dedup pipelines need."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u").isNotNull() & F.col("v").isNotNull())
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # bit_xor: order-independent AND overflow-free under ANSI mode
+        # (sum(xxhash64) throws ARITHMETIC_OVERFLOW); edges are distinct
+        # so xor-cancellation of duplicates cannot occur
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # converged: e is star edges (child → component-min root)
+    comp = (
+        nodes.join(
+            e.select(F.col("u").alias("node"), F.col("v").alias("comp")),
+            "node",
+            "left",
+        ).select("node", F.coalesce("comp", "node").alias("comp"))
+    )
+    return comp
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    relevance_col: str | None = None,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    num_perm: int = NUM_PERM,
+    bands: int = 16,
+    max_bucket: int = 1000,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Near-dup removal with TRANSITIVE duplicate sets: one survivor per
+    connected component of the verified-pair graph (vs `minhash_dedup`'s
+    per-edge dominance, which can keep >1 doc from a duplicate chain
+    a~b~c when the middle doc is the weakest).
+
+    Winner per component: highest relevance, ties by smallest id; without
+    a relevance column the winner is the smallest id — which IS the
+    component label, so survivors fall out of a single filter with no
+    extra shuffle. The relevance variant uses a map-side-combinable
+    groupBy min(struct(-rel, id)), never a window over raw members."""
+    sh = with_shingles(df, text_col, id_col, ngram)
+    cands = minhash_candidates(
+        sh, "shingles", id_col, num_perm, bands, max_bucket=max_bucket
+    )
+    verified = jaccard_for_pairs(cands, sh, id_col, threshold)
+    comp = connected_components(verified, "id_a", "id_b", max_iter=max_iter)
+    if relevance_col is None:
+        dominated = comp.filter(F.col("node") != F.col("comp")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        members = comp.join(
+            df.select(
+                F.col(id_col).alias("node"), F.col(relevance_col).alias("_rel")
+            ),
+            "node",
+        )
+        winners = (
+            members.groupBy("comp")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("_rel")).alias("neg_rel"), F.col("node").alias("n")
+                    )
+                ).alias("w")
+            )
+            .select("comp", F.col("w.n").alias("winner"))
+        )
+        dominated = (
+            members.join(winners, "comp")
+            .filter(F.col("node") != F.col("winner"))
+            .select(F.col("node").alias(id_col))
+        )
+    return df.join(dominated, id_col, "left_anti")

@@ -1352,6 +1352,85 @@ def minhash_dedup_survivors(spark, sf_dir):
     ).select("doc_id")
 
 
+def _minhash_cc_label_ctes(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    """Shared recursive-CTE fragment labelling every node of the verified
+    minhash pair graph with its component minimum (transitive closure is
+    fine oracle-side: the sf0.01 pair graph is tiny; the SPARK side is
+    the O(log n) large-star/small-star algorithm)."""
+    pairs = _minhash_pairs_oracle(num_perm, bands, threshold)
+    return f"""vp AS ({pairs}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM vp
+      UNION SELECT id_b AS u, id_a AS v FROM vp),
+    reach(node, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT re.node, e.v FROM reach re JOIN edges e ON re.r = e.u),
+    comp AS (
+      SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node)"""
+
+
+def _minhash_cc_oracle(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_cc_label_ctes(num_perm, bands, threshold)}
+    SELECT node, comp FROM comp
+    """
+
+
+@q("minhash_cc_components", _minhash_cc_oracle())
+def minhash_cc_components(spark, sf_dir):
+    """Component labels of the verified near-dup graph (large-star /
+    small-star CC over the minhash pair edges). The reference has no CC
+    operator — its winner walk (createCorpus.scala:416-442) is per-bucket
+    only; CC gives the transitive duplicate-set semantics training-data
+    dedup needs (a~b, b~c ⇒ one set {a,b,c})."""
+    d = t(spark, sf_dir, "documents")
+    sh = DD.with_shingles(d, "text", "doc_id", 3)
+    cands = DD.minhash_candidates(
+        sh, "shingles", "doc_id", 64, 16, max_bucket=1_000_000
+    )
+    verified = DD.jaccard_for_pairs(cands, sh, "doc_id", threshold=0.5)
+    return DD.connected_components(verified, "id_a", "id_b")
+
+
+def _minhash_cc_survivors_oracle(
+    num_perm: int = 64, bands: int = 16, threshold: float = 0.5
+) -> str:
+    return f"""
+    WITH RECURSIVE {_minhash_cc_label_ctes(num_perm, bands, threshold)},
+    members AS (
+      SELECT c.node, c.comp, d.n_chars
+      FROM comp c JOIN documents d ON c.node = d.doc_id),
+    winners AS (
+      SELECT comp, node AS winner FROM (
+        SELECT comp, node,
+               row_number() OVER (PARTITION BY comp
+                                  ORDER BY n_chars DESC, node) AS rn
+        FROM members) WHERE rn = 1),
+    dominated AS (
+      SELECT m.node FROM members m
+      JOIN winners w ON m.comp = w.comp WHERE m.node <> w.winner)
+    SELECT doc_id FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM dominated)
+    """
+
+
+@q("minhash_dedup_cc_survivors", _minhash_cc_survivors_oracle())
+def minhash_dedup_cc_survivors(spark, sf_dir):
+    """Transitive-set near-dup removal: ONE survivor (max n_chars, tie
+    smallest id) per connected component — vs minhash_dedup_survivors'
+    per-edge dominance, which can keep >1 doc of a duplicate chain."""
+    d = t(spark, sf_dir, "documents")
+    return DD.minhash_dedup_cc(
+        d, "text", "doc_id", relevance_col="n_chars", ngram=3, threshold=0.5,
+        max_bucket=1_000_000,
+    ).select("doc_id")
+
+
 @q(
     "stopword_shingle_counts",
     f"""
@@ -2403,10 +2482,19 @@ def knn_join_lsh_topk_bucketed(spark, sf_dir):
 #     (ann_ivf_topk_trained, r5) is the stronger driver anchor for the
 #     same assignment/probe/re-rank plan, and the fixed variant stays
 #     equality-pinned to its partitioned twin in pytest + CI-value-checked.
+#   * winner_per_lang — A8/A10's grouped-winner shape is exercised
+#     end-to-end inside the gated create_corpus_pipeline (the corpus
+#     winner walk) and in the r5-gated minhash_dedup_cc_survivors
+#     (per-component winner);
+#   * media_metadata_stats — the weaker multimodal anchor; the gated
+#     media_payload_metadata runs the same md5/length metadata over the
+#     REAL binary mapInPandas path.
 _YIELD_FIRST_UNDER_CAP = [
     "ann_lsh_topk",
     "knn_join_lsh_topk",
     "ann_ivf_topk",
+    "winner_per_lang",
+    "media_metadata_stats",
     "minhash_dedup_survivors",
     "tld_counts",
     "customers_without_orders",

@@ -168,3 +168,68 @@ def test_jaccard_pairs_df_cap_bounds_fanout(spark):
     assert set(got) == {(2 * k, 2 * k + 1) for k in range(n // 2)}
     # 1 shared (private) shingle over full union 3+3-1=5
     assert all(abs(v - 0.2) < 1e-9 for v in got.values())
+
+
+# ----- Connected components / transitive dedup -------------------------------
+
+
+def test_connected_components_chain_ring_pair(spark):
+    from commoncrawlscalatools_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = sorted(
+        (r["node"], r["comp"]) for r in connected_components(edges).collect()
+    )
+    assert got == [
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10), (12, 10),
+        (20, 20), (21, 20),
+    ]
+
+
+def test_connected_components_partitioning_invariant(spark):
+    from commoncrawlscalatools_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)] + [(100, 200), (200, 300)],
+        "id_a long, id_b long",
+    )
+    a = sorted(map(tuple, connected_components(edges).collect()))
+    b = sorted(map(tuple, connected_components(edges.repartition(7)).collect()))
+    assert a == b
+    # one long chain 1..40 plus one 3-node component
+    assert {c for _, c in a} == {1, 100}
+
+
+def test_minhash_dedup_cc_transitive_chain(spark):
+    """a~b and b~c but a!~c: per-edge dominance can keep two of the
+    chain; CC keeps exactly one survivor from {a,b,c}."""
+    from commoncrawlscalatools_spark.operators.dedup import minhash_dedup_cc
+
+    mid = BASE.replace("lazy dog", "sleepy cat")
+    far = mid.replace("quick brown", "slow grey")
+    rows = [(1, BASE, 0.5), (2, mid, 0.9), (3, far, 0.4), (4, OTHER, 0.8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "relevance"])
+    got = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_cc(
+            df, "text", "doc_id", relevance_col="relevance", threshold=0.4
+        ).collect()
+    )
+    # 2 wins its whole component (highest relevance); 4 untouched
+    assert got == [2, 4]
+
+
+def test_minhash_dedup_cc_no_relevance_keeps_min_id(spark):
+    from commoncrawlscalatools_spark.operators.dedup import minhash_dedup_cc
+
+    rows = [(7, BASE, 0.0), (3, BASE, 0.0), (9, MUT, 0.0), (4, OTHER, 0.0)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "relevance"])
+    got = sorted(
+        r["doc_id"]
+        for r in minhash_dedup_cc(df, "text", "doc_id", threshold=0.4).collect()
+    )
+    assert got == [3, 4]

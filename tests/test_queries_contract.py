@@ -50,6 +50,12 @@ SUBSET = [
     "docs_by_category_report",
     # r5 trained-quantizer IVF (oracle joins the frozen centroid table)
     "ann_ivf_topk_trained",
+    # r5 connected-components dedup (gated) + the two anchors that
+    # yielded the cap slots for it (value-checked here instead)
+    "minhash_cc_components",
+    "minhash_dedup_cc_survivors",
+    "winner_per_lang",
+    "media_metadata_stats",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
