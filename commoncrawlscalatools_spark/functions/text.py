@@ -17,7 +17,7 @@ engines; xxhash64 is used where only Spark-internal determinism matters
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Lucene-style stopword list used ONLY by the quality-score heuristic
@@ -236,4 +236,160 @@ def rolling_hash(text: Column) -> Column:
         toks,
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + md5_hash32(x)) % MOD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition signals (Rae et al. 2021, "Scaling Language
+# Models: Methods, Analysis & Insights from Training Gopher", Table A1 —
+# public paper). The reference has no repetition filter; these are the
+# standard training-data quality gates a 100 TB pipeline runs alongside
+# the reference's cleaner. Token-level variants (the corpus here is
+# single-line); the formulas generalize to lines/paragraphs unchanged.
+# ---------------------------------------------------------------------------
+
+
+def dup_token_frac(tokens: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    1 - distinct/total, over an already-tokenized array (ws_tokens(text)).
+    Pure native array ops — zero shuffle, zero HOF."""
+    n = F.size(tokens)
+    return F.when(
+        n > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(tokens)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def dup_token_char_frac(tokens: Column) -> Column:
+    """Fraction of token characters carried by repeat occurrences:
+    (chars(all tokens) - chars(distinct tokens)) / chars(all tokens)."""
+    tch = F.length(F.array_join(tokens, ""))
+    dch = F.length(F.array_join(F.array_distinct(tokens), ""))
+    return F.when(
+        tch > 0, (tch - dch).cast("double") / tch.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Sliding word n-grams joined by ' ' (the with_shingles window shape;
+    toks must be a materialized column — HOF lambdas re-evaluate captured
+    subexpressions per element)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _char_cover_frac(chars_col: str) -> Column:
+    """`chars / len(text)` capped at 1 (gram occurrences overlap), rounded;
+    0 for empty text (total — real corpora have empty rows even though the
+    sandbox tables don't, and ANSI-mode division must never see tc=0)."""
+    return F.when(
+        F.col("__tc") > 0,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.coalesce(F.col(chars_col), F.lit(0)).cast("double")
+                / F.col("__tc").cast("double"),
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 2,
+    dup_n: int = 5,
+) -> DataFrame:
+    """Per-document repetition profile:
+      * dup_token_frac / dup_token_char_frac — in-row native array ops;
+      * top_{top_n}gram_char_frac — chars covered by the single most
+        frequent n-gram: count * len(gram) / len(text), capped at 1
+        (occurrences overlap). Tie-break pinned: max count, then longest
+        gram, then lexicographically largest;
+      * dup_{dup_n}gram_char_frac — chars covered by ALL n-grams occurring
+        more than once: sum(count * len(gram)) / len(text), capped at 1.
+
+    Scale shape: ONE tokenization pass builds both gram sizes, then ONE
+    kind-tagged explode + two-level aggregate keyed (id, kind, gram) →
+    (id) — both levels map-side-combinable — and ONE join back, instead
+    of an explode+agg+join per gram family; no window over the raw token
+    stream, no driver collect. At 100 TB this is the standard
+    distributed n-gram profile (the same shape public pipelines use)."""
+    base = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("__tc"),
+        ws_tokens(F.col(text_col)).alias("__toks"),
+    )
+    toks = F.col("__toks")
+    inrow = base.select(
+        id_col,
+        "__tc",
+        F.size(toks).alias("n_tokens"),
+        dup_token_frac(toks).alias("dup_token_frac"),
+        dup_token_char_frac(toks).alias("dup_token_char_frac"),
+        _word_ngrams(toks, top_n).alias("__gt"),
+        _word_ngrams(toks, dup_n).alias("__gd"),
+    )
+    grams = inrow.select(
+        id_col,
+        F.explode(
+            F.concat(
+                F.transform(
+                    "__gt",
+                    lambda g: F.struct(F.lit("t").alias("k"), g.alias("g")),
+                ),
+                F.transform(
+                    "__gd",
+                    lambda g: F.struct(F.lit("d").alias("k"), g.alias("g")),
+                ),
+            )
+        ).alias("kg"),
+    ).select(id_col, "kg.k", "kg.g")
+    stats = (
+        grams.groupBy(id_col, "k", "g")
+        .count()
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.when(
+                    F.col("k") == "t",
+                    F.struct(
+                        F.col("count").alias("c"),
+                        F.length("g").alias("l"),
+                        F.col("g").alias("g"),
+                    ),
+                )
+            ).alias("t"),
+            F.sum(
+                F.when(
+                    (F.col("k") == "d") & (F.col("count") > 1),
+                    F.col("count") * F.length("g"),
+                )
+            ).alias("__dup_chars"),
+        )
+        .select(
+            id_col,
+            (F.col("t.c") * F.col("t.l")).alias("__top_chars"),
+            "__dup_chars",
+        )
+    )
+    return (
+        inrow.select(
+            id_col, "__tc", "n_tokens", "dup_token_frac", "dup_token_char_frac"
+        )
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round("dup_token_frac", 6).alias("dup_token_frac"),
+            F.round("dup_token_char_frac", 6).alias("dup_token_char_frac"),
+            _char_cover_frac("__top_chars").alias(f"top_{top_n}gram_char_frac"),
+            _char_cover_frac("__dup_chars").alias(f"dup_{dup_n}gram_char_frac"),
+        )
     )

@@ -606,6 +606,61 @@ def doc_fingerprints(spark, sf_dir):
     )
 
 
+_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+
+@q(
+    "repetition_scores",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, len(text) AS tc, {_TOKS_SQL} AS toks FROM documents),
+    inrow AS (
+      SELECT doc_id, tc, len(toks) AS n_tokens,
+             CASE WHEN len(toks) > 0
+                  THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS dup_token_frac,
+             CASE WHEN len(array_to_string(toks, '')) > 0
+                  THEN CAST(len(array_to_string(toks, ''))
+                            - len(array_to_string(list_distinct(toks), '')) AS DOUBLE)
+                       / CAST(len(array_to_string(toks, '')) AS DOUBLE)
+                  ELSE 0.0 END AS dup_token_char_frac,
+             toks
+      FROM tk),
+    g2 AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM inrow)),
+    top2 AS (
+      SELECT doc_id, c * len(g) AS top_chars FROM (
+        SELECT doc_id, g, count(*) AS c,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY count(*) DESC, len(g) DESC, g DESC) AS rn
+        FROM g2 GROUP BY doc_id, g) WHERE rn = 1),
+    g5 AS (
+      SELECT doc_id, array_to_string(toks[i:i+4], ' ') AS g
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i FROM inrow)),
+    dup5 AS (
+      SELECT doc_id, sum(c * len(g)) AS dup_chars FROM (
+        SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g)
+      WHERE c > 1 GROUP BY doc_id)
+    SELECT i.doc_id AS doc_id, i.n_tokens AS n_tokens,
+           round(i.dup_token_frac, 6) AS dup_token_frac,
+           round(i.dup_token_char_frac, 6) AS dup_token_char_frac,
+           round(least(1.0, CAST(coalesce(t.top_chars, 0) AS DOUBLE)
+                           / CAST(i.tc AS DOUBLE)), 6) AS top_2gram_char_frac,
+           round(least(1.0, CAST(coalesce(d.dup_chars, 0) AS DOUBLE)
+                           / CAST(i.tc AS DOUBLE)), 6) AS dup_5gram_char_frac
+    FROM inrow i LEFT JOIN top2 t ON i.doc_id = t.doc_id
+                 LEFT JOIN dup5 d ON i.doc_id = d.doc_id
+    """,
+)
+def repetition_scores_q(spark, sf_dir):
+    """Gopher-style repetition quality gates (Rae et al. 2021 Table A1) —
+    see functions/text.py:repetition_scores for formulas and scale shape."""
+    d = t(spark, sf_dir, "documents")
+    return TX.repetition_scores(d, "text", "doc_id", top_n=2, dup_n=5)
+
+
 @q(
     "inverted_index_stats",
     """
@@ -2489,7 +2544,11 @@ def knn_join_lsh_topk_bucketed(spark, sf_dir):
 #   * media_metadata_stats — the weaker multimodal anchor; the gated
 #     media_payload_metadata runs the same md5/length metadata over the
 #     REAL binary mapInPandas path.
+#   * q3_top_orders — its J2 equi-join and O3 head-N shapes are
+#     double-anchored (nation_revenue multi-way equi-join; relevance_topk
+#     TakeOrderedAndProject).
 _YIELD_FIRST_UNDER_CAP = [
+    "q3_top_orders",
     "ann_lsh_topk",
     "knn_join_lsh_topk",
     "ann_ivf_topk",

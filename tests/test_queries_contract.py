@@ -56,6 +56,10 @@ SUBSET = [
     "minhash_dedup_cc_survivors",
     "winner_per_lang",
     "media_metadata_stats",
+    # r5 Gopher-style repetition gates (gated) + the anchor that yielded
+    # its cap slot
+    "repetition_scores",
+    "q3_top_orders",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()

@@ -76,3 +76,51 @@ def test_subword_counts_golden(spark):
         subword_token_counts(F.col("text"), "Scan").alias("t")
     ).collect()[0]["t"]
     assert Counter(toks) == {"scan": 3, "scanner": 1, "re-scan": 1}
+
+
+def test_repetition_scores_goldens(spark):
+    # Hand-computed Gopher-style repetition signals (Rae et al. 2021
+    # Table A1, token-level). Per doc:
+    #  "a a a a"  tc=7: dup_token 1-1/4; char (4-1)/4; "a a"x3 -> 9/7 cap 1;
+    #             no 5-grams -> 0
+    #  "the cat sat on the mat"  tc=22: 1-5/6; (17-14)/17; all bigrams
+    #             count 1 -> tie-break max(count,len,lex) = "the mat",
+    #             7/22; 5-grams unique -> 0
+    #  "x y x y x y x y"  tc=15: 1-2/8; (8-2)/8; "x y"x4 -> 12/15;
+    #             both 5-grams x2 -> 36/15 cap 1
+    #  ""         all zero (total function: no div-by-zero on tc=0)
+    from commoncrawlscalatools_spark.functions.text import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "a a a a"),
+            ("d2", "the cat sat on the mat"),
+            ("d3", "x y x y x y x y"),
+            ("d4", ""),
+        ],
+        "doc_id string, text string",
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_scores(df, "text", "doc_id").collect()
+    }
+    assert rows["d1"] == {
+        "doc_id": "d1", "n_tokens": 4,
+        "dup_token_frac": 0.75, "dup_token_char_frac": 0.75,
+        "top_2gram_char_frac": 1.0, "dup_5gram_char_frac": 0.0,
+    }
+    assert rows["d2"] == {
+        "doc_id": "d2", "n_tokens": 6,
+        "dup_token_frac": 0.166667, "dup_token_char_frac": 0.176471,
+        "top_2gram_char_frac": 0.318182, "dup_5gram_char_frac": 0.0,
+    }
+    assert rows["d3"] == {
+        "doc_id": "d3", "n_tokens": 8,
+        "dup_token_frac": 0.75, "dup_token_char_frac": 0.75,
+        "top_2gram_char_frac": 0.8, "dup_5gram_char_frac": 1.0,
+    }
+    assert rows["d4"] == {
+        "doc_id": "d4", "n_tokens": 0,
+        "dup_token_frac": 0.0, "dup_token_char_frac": 0.0,
+        "top_2gram_char_frac": 0.0, "dup_5gram_char_frac": 0.0,
+    }
