@@ -393,3 +393,87 @@ def repetition_scores(
             _char_cover_frac("__dup_chars").alias(f"dup_{dup_n}gram_char_frac"),
         )
     )
+
+
+def mean_word_len(tokens: Column) -> Column:
+    """Mean characters per token; 0 for empty docs."""
+    n = F.size(tokens)
+    return F.when(
+        n > 0,
+        F.length(F.array_join(tokens, "")).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_hits(tokens_lower: Column) -> Column:
+    """Count of tokens that are stopwords (Gopher's 'at least two of a
+    small stopword list' gate counts HITS, not distinct words)."""
+    sw = F.lit(STOPWORDS)
+    return F.size(F.filter(tokens_lower, lambda t: F.array_contains(sw, t)))
+
+
+def quality_gates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 20,
+    max_tokens: int = 90,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_frac: float = 0.82,
+    min_stopword_hits: int = 2,
+    max_dup_token_frac: float = 0.60,
+    max_top_2gram_char_frac: float = 0.20,
+    max_dup_5gram_char_frac: float = 0.30,
+    lang: str = "en",
+) -> DataFrame:
+    """The composed training-data quality gate — the Gopher/C4-style
+    filter recipe (Rae et al. 2021 Table A1; Raffel et al. 2020 §2.2 —
+    public papers) over this engine's own primitives: token-count range,
+    mean-word-length range, alphabetic fraction, minimum stopword hits,
+    the repetition profile, and language-ID. Returns one row per document
+    with each gate's boolean and the conjunction `passed` — keeping the
+    per-gate verdicts is what lets a pipeline report WHICH gate rejected
+    how much (the reference's filter-stats side-output shape,
+    StreamFilterStatsWriter.scala:12-68, applied to quality filtering).
+
+    Scale shape: every gate except repetition is in-row codegen'd column
+    arithmetic on one scan; the repetition fracs come from
+    repetition_scores' single tagged-explode aggregate, joined back on
+    the id — the only shuffle in the job."""
+    rep = repetition_scores(df, text_col, id_col)
+    text = F.col(text_col)
+    toks = ws_tokens(text)
+    inrow = df.select(
+        F.col(id_col),
+        mean_word_len(toks).alias("__mwl"),
+        alpha_ratio(text).alias("__alpha"),
+        stopword_hits(ws_tokens(F.lower(text))).alias("__sw"),
+        lang_id(text).alias("__lang"),
+    )
+    j = inrow.join(rep, id_col)
+    return j.select(
+        id_col,
+        "n_tokens",
+        F.col("n_tokens").between(min_tokens, max_tokens).alias("pass_len"),
+        F.col("__mwl")
+        .between(min_mean_word_len, max_mean_word_len)
+        .alias("pass_word_len"),
+        (F.col("__alpha") >= min_alpha_frac).alias("pass_alpha"),
+        (F.col("__sw") >= min_stopword_hits).alias("pass_stopwords"),
+        (
+            (F.col("dup_token_frac") <= max_dup_token_frac)
+            & (F.col("top_2gram_char_frac") <= max_top_2gram_char_frac)
+            & (F.col("dup_5gram_char_frac") <= max_dup_5gram_char_frac)
+        ).alias("pass_repetition"),
+        (F.col("__lang") == lang).alias("pass_lang"),
+    ).select(
+        "*",
+        (
+            F.col("pass_len")
+            & F.col("pass_word_len")
+            & F.col("pass_alpha")
+            & F.col("pass_stopwords")
+            & F.col("pass_repetition")
+            & F.col("pass_lang")
+        ).alias("passed"),
+    )

@@ -555,7 +555,9 @@ def quality_scores(spark, sf_dir):
     return d.select("doc_id", TX.quality_score(F.col("text")).alias("quality"))
 
 
-def _lang_oracle() -> str:
+def _lang_case_sql() -> str:
+    """The lang_id argmax as a DuckDB CASE expression (shared by the
+    lang_id_counts and quality_gate_docs oracles)."""
     score = {
         lg: (
             "len(list_filter(string_split_regex(lower(text), '\\s+'),"
@@ -569,7 +571,11 @@ def _lang_oracle() -> str:
     for lg in langs:
         case += f"WHEN {score[lg]} > 0 AND {score[lg]} = {best} THEN '{lg}' "
     case += "ELSE 'und' END"
-    return f"SELECT {case} AS lang_guess, count(*) AS n FROM documents GROUP BY 1"
+    return case
+
+
+def _lang_oracle() -> str:
+    return f"SELECT {_lang_case_sql()} AS lang_guess, count(*) AS n FROM documents GROUP BY 1"
 
 
 @q("lang_id_counts", _lang_oracle())
@@ -609,10 +615,8 @@ def doc_fingerprints(spark, sf_dir):
 _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
 
-@q(
-    "repetition_scores",
-    f"""
-    WITH tk AS (
+_REP_CTE_SQL = f"""
+    tk AS (
       SELECT doc_id, len(text) AS tc, {_TOKS_SQL} AS toks FROM documents),
     inrow AS (
       SELECT doc_id, tc, len(toks) AS n_tokens,
@@ -642,16 +646,30 @@ _TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
     dup5 AS (
       SELECT doc_id, sum(c * len(g)) AS dup_chars FROM (
         SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g)
-      WHERE c > 1 GROUP BY doc_id)
-    SELECT i.doc_id AS doc_id, i.n_tokens AS n_tokens,
-           round(i.dup_token_frac, 6) AS dup_token_frac,
-           round(i.dup_token_char_frac, 6) AS dup_token_char_frac,
-           round(least(1.0, CAST(coalesce(t.top_chars, 0) AS DOUBLE)
-                           / CAST(i.tc AS DOUBLE)), 6) AS top_2gram_char_frac,
-           round(least(1.0, CAST(coalesce(d.dup_chars, 0) AS DOUBLE)
-                           / CAST(i.tc AS DOUBLE)), 6) AS dup_5gram_char_frac
-    FROM inrow i LEFT JOIN top2 t ON i.doc_id = t.doc_id
-                 LEFT JOIN dup5 d ON i.doc_id = d.doc_id
+      WHERE c > 1 GROUP BY doc_id),
+    rep AS (
+      SELECT i.doc_id AS doc_id, i.tc AS tc, i.n_tokens AS n_tokens,
+             i.dup_token_frac AS dup_token_frac,
+             i.dup_token_char_frac AS dup_token_char_frac,
+             least(1.0, CAST(coalesce(t.top_chars, 0) AS DOUBLE)
+                        / CAST(i.tc AS DOUBLE)) AS top2_frac,
+             least(1.0, CAST(coalesce(d.dup_chars, 0) AS DOUBLE)
+                        / CAST(i.tc AS DOUBLE)) AS dup5_frac
+      FROM inrow i LEFT JOIN top2 t ON i.doc_id = t.doc_id
+                   LEFT JOIN dup5 d ON i.doc_id = d.doc_id)
+"""
+
+
+@q(
+    "repetition_scores",
+    f"""
+    WITH {_REP_CTE_SQL}
+    SELECT doc_id, n_tokens,
+           round(dup_token_frac, 6) AS dup_token_frac,
+           round(dup_token_char_frac, 6) AS dup_token_char_frac,
+           round(top2_frac, 6) AS top_2gram_char_frac,
+           round(dup5_frac, 6) AS dup_5gram_char_frac
+    FROM rep
     """,
 )
 def repetition_scores_q(spark, sf_dir):
@@ -659,6 +677,78 @@ def repetition_scores_q(spark, sf_dir):
     see functions/text.py:repetition_scores for formulas and scale shape."""
     d = t(spark, sf_dir, "documents")
     return TX.repetition_scores(d, "text", "doc_id", top_n=2, dup_n=5)
+
+
+# Thresholds for the composed Gopher/C4-style quality gate — shared
+# verbatim between the Spark call and its oracle SQL so both engines
+# apply the identical recipe.
+_QG = dict(
+    min_tokens=20,
+    max_tokens=90,
+    min_mean_word_len=3.0,
+    max_mean_word_len=10.0,
+    min_alpha_frac=0.82,
+    min_stopword_hits=2,
+    max_dup_token_frac=0.60,
+    max_top_2gram_char_frac=0.20,
+    max_dup_5gram_char_frac=0.30,
+    lang="en",
+)
+
+
+def _quality_gate_oracle() -> str:
+    sw = "[" + ", ".join(f"'{s}'" for s in TX.STOPWORDS) + "]"
+    g = _QG
+    # repetition comparisons run on the ROUNDED fracs (the Spark side
+    # compares repetition_scores' rounded outputs — a raw-value compare
+    # could flip a gate exactly at the threshold)
+    return f"""
+    WITH {{rep_cte}},
+    gates AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(len(array_to_string(toks, '')) AS DOUBLE)
+                       / CAST(len(toks) AS DOUBLE)
+                  ELSE 0.0 END AS mwl,
+             CASE WHEN len(text) > 0
+                  THEN CAST(len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                       / CAST(len(text) AS DOUBLE)
+                  ELSE 0.0 END AS alpha,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                 x -> list_contains({sw}, x))) AS swh,
+             {_lang_case_sql()} AS lang
+      FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents))
+    SELECT r.doc_id AS doc_id, r.n_tokens AS n_tokens,
+           r.n_tokens BETWEEN {g['min_tokens']} AND {g['max_tokens']} AS pass_len,
+           g.mwl BETWEEN {g['min_mean_word_len']} AND {g['max_mean_word_len']} AS pass_word_len,
+           g.alpha >= {g['min_alpha_frac']} AS pass_alpha,
+           g.swh >= {g['min_stopword_hits']} AS pass_stopwords,
+           (round(r.dup_token_frac, 6) <= {g['max_dup_token_frac']}
+            AND round(r.top2_frac, 6) <= {g['max_top_2gram_char_frac']}
+            AND round(r.dup5_frac, 6) <= {g['max_dup_5gram_char_frac']}) AS pass_repetition,
+           g.lang = '{g['lang']}' AS pass_lang,
+           (r.n_tokens BETWEEN {g['min_tokens']} AND {g['max_tokens']}
+            AND g.mwl BETWEEN {g['min_mean_word_len']} AND {g['max_mean_word_len']}
+            AND g.alpha >= {g['min_alpha_frac']}
+            AND g.swh >= {g['min_stopword_hits']}
+            AND round(r.dup_token_frac, 6) <= {g['max_dup_token_frac']}
+            AND round(r.top2_frac, 6) <= {g['max_top_2gram_char_frac']}
+            AND round(r.dup5_frac, 6) <= {g['max_dup_5gram_char_frac']}
+            AND g.lang = '{g['lang']}') AS passed
+    FROM rep r JOIN gates g ON r.doc_id = g.doc_id
+    """.replace("{rep_cte}", _REP_CTE_SQL.strip())
+
+
+@q("quality_gate_docs", _quality_gate_oracle())
+def quality_gate_docs(spark, sf_dir):
+    """The composed training-data quality gate (Gopher/C4 recipe over this
+    engine's own primitives — functions/text.py:quality_gates): per-doc
+    booleans for token-range, mean-word-length, alphabetic-fraction,
+    stopword, repetition and language gates plus the conjunction, so a
+    pipeline can report WHICH gate rejected how much (the reference's
+    filter-stats side-output shape applied to quality filtering)."""
+    d = t(spark, sf_dir, "documents")
+    return TX.quality_gates(d, "text", "doc_id", **_QG)
 
 
 @q(
@@ -2548,6 +2638,10 @@ def knn_join_lsh_topk_bucketed(spark, sf_dir):
 #     double-anchored (nation_revenue multi-way equi-join; relevance_topk
 #     TakeOrderedAndProject).
 _YIELD_FIRST_UNDER_CAP = [
+    #   * suppliers_of_large_parts — its J4 semi-join shape is
+    #     double-anchored by the short-doc rejoin inside the gated
+    #     create_corpus_pipeline.
+    "suppliers_of_large_parts",
     "q3_top_orders",
     "ann_lsh_topk",
     "knn_join_lsh_topk",

@@ -56,10 +56,12 @@ SUBSET = [
     "minhash_dedup_cc_survivors",
     "winner_per_lang",
     "media_metadata_stats",
-    # r5 Gopher-style repetition gates (gated) + the anchor that yielded
-    # its cap slot
+    # r5 Gopher-style repetition gates + the composed quality-gate recipe
+    # (both gated) + the anchors that yielded their cap slots
     "repetition_scores",
+    "quality_gate_docs",
     "q3_top_orders",
+    "suppliers_of_large_parts",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
