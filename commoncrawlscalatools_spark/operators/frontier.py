@@ -51,8 +51,12 @@ FRONTIER_SCHEMA = T.StructType(
 def canonicalize_seeds(seeds: DataFrame, url_col: str = "url") -> DataFrame:
     """Seeds → canonical frontier candidates. Duplicate canonical URLs
     collapse to the highest-priority row (ties: first by url_hash) —
-    deterministic, one hash-aggregate."""
-    c = U.canonical_url(F.col(url_col))
+    deterministic, one hash-aggregate. The canonicalizer expression tree
+    is memoized per SparkContext (it runs on every outlink every round;
+    rebuilding it cost ~0.2 s of py4j per call — exprcache)."""
+    from commoncrawlscalatools_spark.exprcache import cached_expr
+
+    c = cached_expr("canonical_url", lambda: U.canonical_url(F.col(url_col)), url_col)
     cand = (
         seeds.select(
             c.alias("url"),

@@ -65,15 +65,6 @@ DOC_SCHEMA = T.StructType(
 MAX_SPANS = 12
 MAX_LINKS = 5
 
-# The unrolled payload expression is ~600 Column nodes ⇒ building it costs
-# >1 s of py4j round-trips PER CALL on this box — charged to every crawl
-# round and to the driver's serial span in the N-vs-4N scaling runs
-# (event-log audit: 2.8 s driver-only time before the first task, ~1.2 s
-# of it this construction). Column objects are immutable and re-resolve by
-# name, so the expression is memoized per (SparkContext, params); a new
-# context (new appId) invalidates stale JVM refs.
-_PAYLOAD_COL_CACHE: dict[tuple, Column] = {}
-
 
 def synthesize_payload(
     scheduled: DataFrame,
@@ -91,17 +82,25 @@ def synthesize_payload(
     crawl round. Flat concat_ws/when/element_at expressions codegen into
     one tight loop. concat_ws skips NULL args, which trims the unroll to
     the per-row span/link counts.
-    """
-    app_id = (
-        scheduled.sparkSession.sparkContext.applicationId
-        if scheduled.sparkSession is not None
-        else None
-    )
-    key = (app_id, n_hosts, max_page, words_per_span)
-    cached = _PAYLOAD_COL_CACHE.get(key)
-    if cached is not None:
-        return scheduled.withColumn("payload", cached)
 
+    The ~600-node unroll costs >1 s of py4j round-trips to CONSTRUCT on
+    this box (event-log audit: 2.8 s driver-only time before the first
+    task, ~1.2 s of it this construction — charged to every crawl round
+    and to the scaling criterion's serial span), so the built expression
+    is memoized per SparkContext (exprcache.cached_expr).
+    """
+    from commoncrawlscalatools_spark.exprcache import cached_expr
+
+    def _build() -> Column:
+        return _payload_expr(n_hosts, max_page, words_per_span)
+
+    payload = cached_expr(
+        "synthetic_payload", _build, n_hosts, max_page, words_per_span
+    )
+    return scheduled.withColumn("payload", payload)
+
+
+def _payload_expr(n_hosts: int, max_page: int, words_per_span: int) -> Column:
     h = F.col("url_hash")
     vocab = F.lit(VOCAB)
     vsize = len(VOCAB)
@@ -140,12 +139,7 @@ def synthesize_payload(
     lines = [span_line(i) for i in range(MAX_SPANS)] + [
         link_line(k) for k in range(1, MAX_LINKS + 1)
     ]
-    payload = F.concat_ws("\n", *lines)
-    # drop entries from previous contexts (their JVM refs are dead)
-    for k in [k for k in _PAYLOAD_COL_CACHE if k[0] != app_id]:
-        del _PAYLOAD_COL_CACHE[k]
-    _PAYLOAD_COL_CACHE[key] = payload
-    return scheduled.withColumn("payload", payload)
+    return F.concat_ws("\n", *lines)
 
 
 def extract_documents(with_payload: DataFrame) -> DataFrame:

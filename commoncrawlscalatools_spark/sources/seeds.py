@@ -33,6 +33,15 @@ def generate_seeds(
         spark.sparkContext.defaultParallelism, min(2048, n // 250_000)
     )
     df = spark.range(0, n, 1, partitions or default_parts)
+    from commoncrawlscalatools_spark.exprcache import cached_expr
+
+    url, priority = cached_expr(
+        "seed_url_priority", lambda: _seed_exprs(n, seed, n_hosts), n, seed, n_hosts
+    )
+    return df.select(url.alias("url"), priority.alias("priority"))
+
+
+def _seed_exprs(n: int, seed: int, n_hosts: int):
     h = F.xxhash64(F.col("id"), F.lit(seed))
     u = (F.pmod(h, F.lit(1_000_000)).cast("double") / 1_000_000.0)
     # quadratic skew: many URLs land on low host ids (hot hosts)
@@ -49,4 +58,4 @@ def generate_seeds(
     frag = F.when(F.pmod(h2, 7) == 0, F.lit("#section")).otherwise(F.lit(""))
     url = F.concat(F.lit("https://"), host_cased, port, path, query, frag)
     priority = F.round(F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 3)), F.lit(1000)).cast("double") / 1000.0, 3)
-    return df.select(url.alias("url"), priority.alias("priority"))
+    return url, priority
