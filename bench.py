@@ -62,6 +62,9 @@ HEADLINE = [
     "knn_join_lsh_topk_bucketed",
     "create_corpus_pipeline",
     "refilter_pipeline",
+    "minhash_cc_components",
+    "repetition_scores",
+    "quality_gate_docs",
     "doc_fingerprints",
     "sessionize_events",
     "windowed_event_agg",
