@@ -63,6 +63,7 @@ HEADLINE = [
     "create_corpus_pipeline",
     "refilter_pipeline",
     "minhash_cc_components",
+    "dup_span_stats",
     "repetition_scores",
     "quality_gate_docs",
     "doc_fingerprints",

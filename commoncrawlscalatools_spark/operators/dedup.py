@@ -651,3 +651,148 @@ def minhash_dedup_cc(
             .select(F.col("node").alias(id_col))
         )
     return df.join(dominated, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicate-span removal (suffix-array substring dedup, distributed)
+# ---------------------------------------------------------------------------
+
+
+def dup_span_intervals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal intervals [s0, e0) of token positions covered by n-token
+    spans that appear in >= min_docs DISTINCT documents — the distributed
+    approximation of exact-substring training-data dedup (Lee et al. 2021
+    suffix-array dedup; the reference has no counterpart — this is the
+    LLM-pipeline extension family alongside minhash/simhash).
+
+    Plan (three shuffles, all linear in corpus token count):
+      1. In-row n-gram keys with start positions (transform + slice + md5 —
+         codegen'd, no token-stream explode before keying, and the key is
+         a fixed 32-char digest so the shuffle never carries raw text).
+      2. groupBy key HAVING count(DISTINCT doc) >= min_docs — partial aggs
+         map-side; the duplicated-key set is tiny relative to the corpus.
+      3. Join positions back on key, then merge overlapping spans per doc
+         with the classic gaps-and-islands windows — both windows and the
+         final groupBy share one hash partitioning on doc_id.
+
+    Intra-doc repetition deliberately does NOT count toward min_docs
+    (count distinct docs, not occurrences): self-repetition is scored by
+    functions/text.py repetition gates; this operator targets cross-doc
+    boilerplate/contamination. Docs shorter than n tokens are skipped
+    BEFORE sequence() (sequence(0, negative) is descending, not empty).
+    """
+    from pyspark.sql.window import Window
+
+    toks = ws_tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("toks")).where(F.size("toks") >= n)
+    grams = _spread(base, id_col).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))),
+            )
+        ).alias("pos", "key"),
+    )
+    dup_keys = (
+        grams.groupBy("key")
+        .agg(F.countDistinct(id_col).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("key")
+    )
+    hits = grams.join(dup_keys, "key").select(id_col, "pos")
+    w_prev = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = hits.withColumn("prev_end", F.max(F.col("pos") + n).over(w_prev))
+    islands = marked.withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_end").isNull() | (F.col("pos") >= F.col("prev_end")), 1
+            ).otherwise(0)
+        ).over(w_run),
+    )
+    return islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("s0"), (F.max("pos") + n).alias("e0")
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document accounting of duplicated-span coverage: for every doc
+    holding at least one cross-doc duplicate n-gram span, the merged span
+    count, tokens removed, and tokens kept. The aggregate is the corpus
+    contamination report a pipeline owner reads before committing to a
+    removal pass."""
+    iv = dup_span_intervals(df, text_col, id_col, n, min_docs)
+    per_doc = iv.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e0") - F.col("s0")).cast("long").alias("tokens_removed"),
+    )
+    ntok = df.select(
+        F.col(id_col), F.size(ws_tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    return per_doc.join(ntok, id_col).select(
+        id_col,
+        "n_tokens",
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        "tokens_removed",
+        (F.col("n_tokens") - F.col("tokens_removed")).alias("tokens_kept"),
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The removal pass itself: rewrite each affected document with every
+    duplicated span's tokens dropped (kept tokens re-joined with single
+    spaces, matching the tokenizer). Returns (id, tokens_kept, clean_text)
+    for affected docs only — the caller unions/left-joins unaffected rows
+    untouched, so the rewrite never rewrites the whole corpus.
+
+    The per-doc interval set arrives as an array column (collect_list of
+    merged intervals — bounded: intervals are non-overlapping so there are
+    at most n_tokens/n of them) and the rewrite is one in-row
+    filter-by-position HOF. Interpreted-lambda cost is paid only on
+    affected rows, after the join pruned everything else."""
+    iv = dup_span_intervals(df, text_col, id_col, n, min_docs)
+    ivs = iv.groupBy(id_col).agg(
+        F.collect_list(F.struct("s0", "e0")).alias("_ivs")
+    )
+    joined = df.join(ivs, id_col)
+    toks = ws_tokens(F.col(text_col))
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("_ivs"),
+            lambda iv_: (s["i"] >= iv_["s0"]) & (s["i"] < iv_["e0"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.size(kept).cast("long").alias("tokens_kept"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("clean_text"),
+    )

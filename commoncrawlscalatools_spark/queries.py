@@ -875,6 +875,99 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return DD.jaccard_pairs(sh, "shingles", "doc_id", threshold=0.2, max_df=1000)
 
 
+def _dup_span_cte(n: int, min_docs: int) -> str:
+    """Shared CTE chain for the duplicate-span oracles: tokenization,
+    position-keyed n-grams, cross-doc duplicate keys, and gaps-and-islands
+    interval merge — the exact relational mirror of
+    operators/dedup.py dup_span_intervals."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+      FROM documents),
+    eligible AS (SELECT doc_id, toks FROM t WHERE len(toks) >= {n}),
+    g AS (SELECT doc_id, unnest(range(0, len(toks) - {n} + 1)) AS pos, toks
+          FROM eligible),
+    k AS (SELECT doc_id, pos,
+                 md5(array_to_string(toks[pos+1:pos+{n}], ' ')) AS key
+          FROM g),
+    dup AS (SELECT key FROM k GROUP BY key
+            HAVING count(DISTINCT doc_id) >= {min_docs}),
+    hits AS (SELECT doc_id, pos FROM k WHERE key IN (SELECT key FROM dup)),
+    marked AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos >= coalesce(max(pos + {n}) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS ni
+      FROM hits),
+    isl AS (SELECT doc_id, pos,
+                   sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+            FROM marked),
+    iv AS (SELECT doc_id, min(pos) AS s0, max(pos) + {n} AS e0
+           FROM isl GROUP BY doc_id, island)
+    """
+
+
+_DUP_SPAN_N, _DUP_SPAN_MIN_DOCS = 8, 2
+
+
+@q(
+    "dup_span_stats",
+    _dup_span_cte(_DUP_SPAN_N, _DUP_SPAN_MIN_DOCS)
+    + """
+    , st AS (SELECT doc_id, count(*) AS n_dup_spans,
+                    CAST(sum(e0 - s0) AS BIGINT) AS tokens_removed
+             FROM iv GROUP BY doc_id)
+    SELECT st.doc_id AS doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           n_dup_spans,
+           tokens_removed,
+           CAST(len(t.toks) AS BIGINT) - tokens_removed AS tokens_kept
+    FROM st JOIN t ON st.doc_id = t.doc_id
+    """,
+)
+def dup_span_stats(spark, sf_dir):
+    """Exact duplicate-span (substring-dedup) contamination report: per
+    affected doc, merged cross-doc duplicate 8-token spans and the token
+    budget a removal pass would reclaim. LLM-pipeline extension (no
+    reference counterpart; Lee et al. 2021 semantics, distributed)."""
+    d = t(spark, sf_dir, "documents")
+    return DD.dup_span_stats(d, n=_DUP_SPAN_N, min_docs=_DUP_SPAN_MIN_DOCS)
+
+
+@q(
+    "dup_span_removal",
+    _dup_span_cte(_DUP_SPAN_N, _DUP_SPAN_MIN_DOCS)
+    + """
+    , aff AS (SELECT DISTINCT doc_id FROM hits),
+    allpos AS (SELECT t.doc_id, unnest(range(0, len(t.toks))) AS p, t.toks
+               FROM t JOIN aff USING (doc_id)),
+    keptpos AS (
+      SELECT a.doc_id, a.p, a.toks[a.p + 1] AS tok FROM allpos a
+      WHERE NOT EXISTS (SELECT 1 FROM iv
+                        WHERE iv.doc_id = a.doc_id
+                          AND a.p >= iv.s0 AND a.p < iv.e0)),
+    clean AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tokens_kept,
+                     string_agg(tok, ' ' ORDER BY p) AS clean_text
+              FROM keptpos GROUP BY doc_id)
+    SELECT aff.doc_id AS doc_id,
+           coalesce(clean.tokens_kept, 0) AS tokens_kept,
+           md5(coalesce(clean.clean_text, '')) AS clean_md5
+    FROM aff LEFT JOIN clean ON aff.doc_id = clean.doc_id
+    """,
+)
+def dup_span_removal(spark, sf_dir):
+    """The removal pass itself, value-anchored by md5 of each rewritten
+    document (kept tokens single-space re-joined). Affected docs only —
+    the full-corpus result is union(unaffected rows, these rewrites)."""
+    d = t(spark, sf_dir, "documents")
+    out = DD.remove_dup_spans(d, n=_DUP_SPAN_N, min_docs=_DUP_SPAN_MIN_DOCS)
+    return out.select(
+        "doc_id", "tokens_kept", F.md5(F.col("clean_text")).alias("clean_md5")
+    )
+
+
 def _minhash_sig_sql(num_perm: int) -> str:
     mh = []
     for i in range(num_perm):
@@ -2637,12 +2730,22 @@ def knn_join_lsh_topk_bucketed(spark, sf_dir):
 #   * q3_top_orders — its J2 equi-join and O3 head-N shapes are
 #     double-anchored (nation_revenue multi-way equi-join; relevance_topk
 #     TakeOrderedAndProject).
+#   * knn_join_labels — the documented brute small-|L| kNN baseline; the
+#     stronger LSH twin (knn_join_lsh_topk_bucketed) is gated and the
+#     brute path keeps its recall-oracle pytest anchor;
+#   * event_props_extract — JSON-extraction relational extra with no
+#     reference counterpart; the events table stays gated through
+#     sessionize_events + windowed_event_agg. Both yielded in r5 for the
+#     duplicate-span dedup family (dup_span_stats / dup_span_removal —
+#     genuinely new semantics vs redundant anchors).
 _YIELD_FIRST_UNDER_CAP = [
     #   * suppliers_of_large_parts — its J4 semi-join shape is
     #     double-anchored by the short-doc rejoin inside the gated
     #     create_corpus_pipeline.
     "suppliers_of_large_parts",
     "q3_top_orders",
+    "knn_join_labels",
+    "event_props_extract",
     "ann_lsh_topk",
     "knn_join_lsh_topk",
     "ann_ivf_topk",

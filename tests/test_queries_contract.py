@@ -62,6 +62,12 @@ SUBSET = [
     "quality_gate_docs",
     "q3_top_orders",
     "suppliers_of_large_parts",
+    # r5 duplicate-span dedup family (gated) + the two anchors that
+    # yielded their cap slots (value-checked here instead)
+    "dup_span_stats",
+    "dup_span_removal",
+    "knn_join_labels",
+    "event_props_extract",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
