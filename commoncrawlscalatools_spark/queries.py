@@ -2633,15 +2633,16 @@ def ann_ivf_topk_trained(spark, sf_dir):
     )
 
 
-@q("ann_ivf_topk_partitioned")
+@q("ann_ivf_topk_partitioned", _ann_ivf_oracle())
 def ann_ivf_topk_partitioned(spark, sf_dir):
     """The IVF scale path: cells assigned at WRITE time, table
     hive-partitioned by cell, query scans only its nprobe partitions
     (write_ivf_embeddings — the Voronoi twin of the LSH bucketed index).
-    Rows-only by design: its results are IDENTICAL to the oracled
-    `ann_ivf_topk` (same fixed quantizer — equality pinned in
-    tests/test_similarity.py), so a second oracle would be redundant;
-    the partition-pruned plan is the point (PLANS.md §IVF)."""
+    Carries the SAME oracle as `ann_ivf_topk` (same fixed quantizer ⇒
+    identical results by construction, also equality-pinned in
+    tests/test_similarity.py) — so a stale or wrongly-built write-time
+    index now fails the value gate instead of passing rows-only; the
+    partition-pruned plan is the point (PLANS.md §IVF)."""
     import os
 
     cents = _ivf_fixed_centroids()
@@ -2738,6 +2739,12 @@ def knn_join_lsh_topk_bucketed(spark, sf_dir):
 #     sessionize_events + windowed_event_agg. Both yielded in r5 for the
 #     duplicate-span dedup family (dup_span_stats / dup_span_removal —
 #     genuinely new semantics vs redundant anchors).
+#   * multi_field_relevance_topk — S5's clause-codec variant; the Lucene
+#     pushdown-scan family stays double-gated (relevance_topk TF scoring,
+#     relevance_bm25_topk Lucene's default similarity). Yielded so the
+#     write-time-partitioned IVF path (ann_ivf_topk_partitioned, now
+#     value-oracled) gates — a distinct PHYSICAL plan (Voronoi partition
+#     pruning) beats a third scorer variant as a driver anchor.
 _YIELD_FIRST_UNDER_CAP = [
     #   * suppliers_of_large_parts — its J4 semi-join shape is
     #     double-anchored by the short-doc rejoin inside the gated
@@ -2746,6 +2753,7 @@ _YIELD_FIRST_UNDER_CAP = [
     "q3_top_orders",
     "knn_join_labels",
     "event_props_extract",
+    "multi_field_relevance_topk",
     "ann_lsh_topk",
     "knn_join_lsh_topk",
     "ann_ivf_topk",

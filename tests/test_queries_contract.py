@@ -68,6 +68,10 @@ SUBSET = [
     "dup_span_removal",
     "knn_join_labels",
     "event_props_extract",
+    # r5: the write-time-partitioned IVF gained the fixed-quantizer
+    # oracle and gates; multi_field_relevance_topk yielded its slot
+    "ann_ivf_topk_partitioned",
+    "multi_field_relevance_topk",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
