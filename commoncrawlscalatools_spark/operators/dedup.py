@@ -796,3 +796,96 @@ def remove_dup_spans(
         F.size(kept).cast("long").alias("tokens_kept"),
         F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("clean_text"),
     )
+
+
+def _gram_keys(df: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    """Distinct (id, md5-of-n-gram) keys per doc — in-row keying as in
+    dup_span_intervals (codegen'd transform + slice, fixed-width digest on
+    the wire, no raw-text shuffle)."""
+    toks = ws_tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("toks")).where(F.size("toks") >= n)
+    return _spread(base, id_col).select(
+        id_col,
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))),
+                )
+            )
+        ).alias("key"),
+    )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix-C / PaLM style): flag
+    every corpus document sharing at least one n-token gram with a
+    held-out benchmark set, so contaminated training rows can be dropped
+    before evaluation means anything. No reference counterpart —
+    LLM-pipeline extension family.
+
+    Returns (id, n_hit_ngrams) for contaminated documents only, where
+    n_hit_ngrams counts the DISTINCT benchmark grams the doc contains
+    (the compact report; survivors = anti-join on these ids).
+
+    Scale shape: the benchmark side is small by definition (eval suites,
+    not corpora), so its distinct gram digests broadcast — the corpus side
+    is one narrow gram pass + a broadcast semi-join + one groupBy(id).
+    The corpus is never self-joined and never shuffled on raw text."""
+    corpus = _gram_keys(df, text_col, id_col, n)
+    bench = F.broadcast(
+        _gram_keys(bench_df, text_col, id_col, n).select("key").distinct()
+    )
+    return (
+        corpus.join(bench, "key")
+        .groupBy(id_col)
+        .agg(F.countDistinct("key").alias("n_hit_ngrams"))
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    lines_col: Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document line-level dedup (CCNet-style): every duplicated
+    line keeps only its FIRST occurrence in (id, line position) order;
+    later occurrences are dropped and each doc is re-assembled from its
+    surviving lines. No reference counterpart — LLM-pipeline extension
+    (the reference's PrepareDocument dedups lines only WITHIN a doc;
+    this is the corpus-wide boilerplate killer).
+
+    Plan: posexplode lines → one row_number window partitioned by the
+    line's md5 digest (first occurrence rank 1) → re-assemble with an
+    in-row sort_array over (pos, line) structs. Two shuffles, both keyed
+    on high-cardinality hashes; empty lines are kept verbatim (they carry
+    layout, not content, and hashing '' would cross-link every doc)."""
+    from pyspark.sql.window import Window
+
+    exploded = (
+        df.select(F.col(id_col), F.posexplode(lines_col).alias("pos", "line"))
+    )
+    w = Window.partitionBy("key").orderBy(F.col(id_col).asc(), F.col("pos").asc())
+    ranked = exploded.withColumn(
+        "key", F.md5(F.col("line"))
+    ).withColumn(
+        "rk",
+        F.when(F.col("line") == "", F.lit(1)).otherwise(F.row_number().over(w)),
+    )
+    kept = ranked.where(F.col("rk") == 1).select(id_col, "pos", "line")
+    return kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )

@@ -1,0 +1,148 @@
+"""Deterministic corpus sampling + sequence packing — the subsetting and
+batch-assembly passes of a training-data pipeline (no reference
+counterpart; LLM-pipeline extension family).
+
+Everything here is hash-deterministic (md5-derived, reproducible in any
+engine) rather than RNG-seeded: at 100 TB you want samples that are (a)
+re-computable byte-identically on re-runs and engine swaps, (b) stable
+under re-partitioning, and (c) oracle-checkable — `rand(seed)` is none of
+those (its value depends on Spark's partition layout).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from commoncrawlscalatools_spark.functions.text import md5_hash32
+
+
+def _strat_hash(strata_col: str, id_col: str) -> Column:
+    """Uniform per-row draw in [0, 1000): 32-bit md5 hash of "strata:id"
+    mod 1000. Salting with the stratum means the same id can be sampled
+    in one stratum's view and not another's — draws are independent."""
+    key = F.concat_ws(":", F.col(strata_col), F.col(id_col).cast("string"))
+    return md5_hash32(key) % 1000
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    permille: dict[str, int],
+    default_permille: int = 0,
+) -> DataFrame:
+    """Rate-based stratified sampling: keep a row iff its deterministic
+    per-mille draw falls under its stratum's target rate (e.g.
+    {"en": 200, "es": 500} keeps ~20% of en, ~50% of es; unlisted strata
+    fall back to default_permille).
+
+    Pure narrow filter — no shuffle, no state, trivially 100 TB-safe; the
+    rate table is a literal CASE expression (never a join)."""
+    rate = F.lit(default_permille)
+    for stratum, p in sorted(permille.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(p)).otherwise(rate)
+    return df.where(_strat_hash(strata_col, id_col) < rate)
+
+
+def reservoir_sample(
+    df: DataFrame, strata_col: str, id_col: str, k: int
+) -> DataFrame:
+    """Fixed-size-k per stratum: the k rows with the smallest deterministic
+    draw (ties broken by id). Equivalent in distribution to a seeded
+    reservoir sample but reproducible anywhere md5 exists.
+
+    One shuffle on the stratum key; rank is a window, so skewed strata
+    concentrate on one partition — fine for stratum cardinalities up to
+    ~10^8 rows; beyond that pre-thin with stratified_sample (keep
+    ~4k/stratum by rate, then rank) to bound the windowed volume."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _strat_hash(strata_col, id_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    budget: int,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """GPT-style sequence packing: conceptually concatenate every
+    document's tokens in id order into one stream and split the stream
+    into fixed `budget`-token chunks; emit one row per (chunk, doc)
+    overlap with the token count the doc contributes to that chunk.
+    Chunk boundaries ignore document boundaries (documents straddle),
+    exactly the "concat then split" batch assembly of LM training.
+
+    The global prefix-sum is the scale hazard: a bare
+    `Window.orderBy(id)` collapses the corpus onto ONE partition. Instead:
+      1. bucket rows by id range (min/max from one 2-value agg — the only
+         driver exit, O(1));
+      2. aggregate per-bucket token sums (n_buckets rows), cumsum them in
+         pandas on the driver (bounded by n_buckets, not corpus size) and
+         broadcast-join the per-bucket offsets back;
+      3. run the cumsum window WITHIN each bucket (partitionBy bucket) and
+         add the bucket offset — the corpus-sized shuffle is hash-spread
+         across n_buckets partitions instead of serialized through one.
+    Docs with zero tokens are dropped (they occupy no stream positions).
+    """
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col).cast("long").alias("_id"), tokens_col.cast("long").alias("_tok")
+    ).where(F.col("_tok") > 0)
+
+    lo, hi = base.agg(F.min("_id"), F.max("_id")).first()
+    if lo is None:
+        return spark.range(0).select(
+            F.col("id").alias("chunk_id"),
+            F.col("id").alias("doc_id"),
+            F.col("id").alias("n_tokens"),
+        )
+    span = hi - lo + 1
+    bucket = ((F.col("_id") - lo) * n_buckets / span).cast("long")
+    b = base.withColumn("_b", bucket)
+
+    sums = (
+        b.groupBy("_b").agg(F.sum("_tok").alias("_s")).orderBy("_b").toPandas()
+    )
+    sums["_off"] = sums["_s"].cumsum().shift(1, fill_value=0)
+    offsets = spark.createDataFrame(sums[["_b", "_off"]])
+
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        b.withColumn("_local_end", F.sum("_tok").over(w))
+        .join(F.broadcast(offsets), "_b")
+        .select(
+            "_id",
+            "_tok",
+            (F.col("_local_end") + F.col("_off")).alias("_end"),
+        )
+        .withColumn("_start", F.col("_end") - F.col("_tok"))
+    )
+    chunk = F.explode(
+        F.sequence(
+            F.floor(F.col("_start") / budget), F.floor((F.col("_end") - 1) / budget)
+        )
+    ).alias("chunk_id")
+    return cum.select("_id", "_tok", "_start", "_end", chunk).select(
+        F.col("chunk_id").cast("long"),
+        F.col("_id").alias("doc_id"),
+        (
+            F.least(F.col("_end"), (F.col("chunk_id") + 1) * budget)
+            - F.greatest(F.col("_start"), F.col("chunk_id") * budget)
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )

@@ -22,9 +22,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from commoncrawlscalatools_spark.functions import pii as PII
 from commoncrawlscalatools_spark.functions import text as TX
 from commoncrawlscalatools_spark.functions import urls as U
 from commoncrawlscalatools_spark.operators import dedup as DD
+from commoncrawlscalatools_spark.operators import sampling as SP
 from commoncrawlscalatools_spark.operators import filters as FL
 from commoncrawlscalatools_spark.operators import relevance as RV
 from commoncrawlscalatools_spark.operators import similarity as SM
@@ -2693,6 +2695,262 @@ def knn_join_lsh_topk_bucketed(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-pipeline extensions, round 5 second wave: PII scrub, benchmark
+# decontamination, corpus-wide line dedup, deterministic sampling, and
+# GPT-style sequence packing (no reference counterparts — the operations a
+# training-data pipeline runs between crawl and tokenizer).
+# ---------------------------------------------------------------------------
+
+
+def _pii_aug_tail_sql() -> str:
+    """The deterministic PII injection both engines apply to the synthetic
+    corpus (which contains no organic PII): doc_id % 5 selects a tail."""
+    return (
+        "CASE doc_id % 5 "
+        "WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' "
+        "WHEN 1 THEN ' ssn 123-45-6789 alt 987-65-4321' "
+        "WHEN 2 THEN ' call 555-867-5309 or 555.200.1000' "
+        "WHEN 3 THEN ' from 192.168.1.77 to 10.0.0.1' "
+        "ELSE '' END"
+    )
+
+
+def _pii_oracle() -> str:
+    count_cols = ", ".join(
+        f"CAST(len(regexp_extract_all(txt, '{pat}')) AS BIGINT) AS n_{kind}"
+        for kind, pat in PII.PII_PATTERNS
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(txt, '{pat}'))" for _, pat in PII.PII_PATTERNS
+    )
+    red = "txt"
+    for kind, pat in PII.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{PII.REDACT_TOKENS[kind]}', 'g')"
+    return f"""
+    WITH aug AS (
+      SELECT doc_id, text || {_pii_aug_tail_sql()} AS txt FROM documents)
+    SELECT doc_id, {count_cols},
+           CAST({total} AS BIGINT) AS n_pii,
+           md5({red}) AS redacted_md5
+    FROM aug
+    """
+
+
+@q("pii_redaction", _pii_oracle())
+def pii_redaction(spark, sf_dir):
+    """PII detect + redact over every document (functions/pii.py): per-kind
+    counts on the original text and md5 of the redacted rewrite. The
+    synthetic corpus has no organic PII, so both engines append the same
+    deterministic doc_id-keyed PII tail first — the regex chain itself
+    (order-sensitive, Java-regex/RE2 dual-valid) is what's under test.
+    Narrow codegen'd map: no shuffle, no Python in the row path."""
+    d = t(spark, sf_dir, "documents")
+    tail = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .when(F.col("doc_id") % 5 == 1, F.lit(" ssn 123-45-6789 alt 987-65-4321"))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" call 555-867-5309 or 555.200.1000"))
+        .when(F.col("doc_id") % 5 == 3, F.lit(" from 192.168.1.77 to 10.0.0.1"))
+        .otherwise(F.lit(""))
+    )
+    aug = d.select("doc_id", F.concat(F.col("text"), tail).alias("text"))
+    out = PII.with_pii_redaction(aug)
+    return out.select(
+        "doc_id",
+        *[f"n_{kind}" for kind, _ in PII.PII_PATTERNS],
+        "n_pii",
+        F.md5("redacted_text").alias("redacted_md5"),
+    )
+
+
+# mod 11 (not a sparser split) so the bench split actually shares grams
+# with the corpus at BOTH driver SFs — a 0-row gate anchor verifies nothing.
+_DECON_N, _DECON_MOD = 8, 11
+
+_DECON_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+corpus AS (SELECT * FROM t WHERE doc_id % {_DECON_MOD} <> 0 AND len(toks) >= {_DECON_N}),
+bench  AS (SELECT * FROM t WHERE doc_id % {_DECON_MOD} =  0 AND len(toks) >= {_DECON_N}),
+ck AS (SELECT DISTINCT doc_id,
+              md5(array_to_string(toks[pos+1:pos+{_DECON_N}], ' ')) AS key
+       FROM (SELECT doc_id, unnest(range(0, len(toks) - {_DECON_N} + 1)) AS pos, toks
+             FROM corpus)),
+bk AS (SELECT DISTINCT md5(array_to_string(toks[pos+1:pos+{_DECON_N}], ' ')) AS key
+       FROM (SELECT doc_id, unnest(range(0, len(toks) - {_DECON_N} + 1)) AS pos, toks
+             FROM bench))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
+FROM ck JOIN bk USING (key)
+GROUP BY doc_id
+"""
+
+
+@q("decontaminate_docs", _DECON_ORACLE)
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.decontaminate): flag every
+    corpus doc sharing an 8-token gram with the held-out benchmark split
+    (doc_id % 11 == 0 stands in for the eval suite). Bench-side distinct
+    gram digests broadcast; the corpus side is one narrow gram pass +
+    broadcast join + groupBy — the corpus is never self-joined."""
+    d = t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % _DECON_MOD != 0)
+    bench = d.where(F.col("doc_id") % _DECON_MOD == 0)
+    return DD.decontaminate(corpus, bench, "text", "doc_id", n=_DECON_N)
+
+
+_LINE_TOKS = 10
+
+_LINE_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+nz AS (SELECT * FROM t WHERE len(toks) > 0),
+l AS (SELECT doc_id, pos,
+             array_to_string(toks[pos*{_LINE_TOKS}+1:pos*{_LINE_TOKS}+{_LINE_TOKS}], ' ') AS line
+      FROM (SELECT doc_id,
+                   unnest(range(0, CAST(ceil(len(toks) / {_LINE_TOKS}.0) AS BIGINT))) AS pos,
+                   toks
+            FROM nz)),
+r AS (SELECT doc_id, pos, line,
+             CASE WHEN line = '' THEN 1
+                  ELSE row_number() OVER (PARTITION BY md5(line)
+                                          ORDER BY doc_id ASC, pos ASC)
+             END AS rk
+      FROM l),
+kept AS (SELECT doc_id, pos, line FROM r WHERE rk = 1)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines_kept,
+       md5(string_agg(line, chr(10) ORDER BY pos)) AS clean_md5
+FROM kept GROUP BY doc_id
+"""
+
+
+@q("line_dedup_docs", _LINE_DEDUP_ORACLE)
+def line_dedup_docs(spark, sf_dir):
+    """Corpus-wide line dedup (operators/dedup.dedup_lines, CCNet-style):
+    every duplicated line keeps only its first (doc_id, pos) occurrence;
+    docs re-assemble from survivors. The synthetic text has no newlines,
+    so both engines derive lines as fixed 10-token chunks — the
+    first-occurrence window + in-row reassembly is what's under test."""
+    d = t(spark, sf_dir, "documents")
+    toks = TX.ws_tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    n_lines = F.ceil(F.size("toks") / F.lit(float(_LINE_TOKS))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("toks"), i * _LINE_TOKS + 1, _LINE_TOKS)
+        ),
+    )
+    out = DD.dedup_lines(base.select("doc_id", lines.alias("lines")), F.col("lines"))
+    return out.select(
+        "doc_id", "n_lines_kept", F.md5("clean_text").alias("clean_md5")
+    )
+
+
+_STRAT_PERMILLE = {"en": 200, "es": 500, "de": 1000}
+_STRAT_DEFAULT = 50
+
+_STRAT_DRAW_SQL = (
+    "CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 1000"
+)
+
+
+@q(
+    "stratified_sample_docs",
+    f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {_STRAT_DRAW_SQL} <
+          CASE lang WHEN 'en' THEN {_STRAT_PERMILLE["en"]}
+                    WHEN 'es' THEN {_STRAT_PERMILLE["es"]}
+                    WHEN 'de' THEN {_STRAT_PERMILLE["de"]}
+                    ELSE {_STRAT_DEFAULT} END
+    """,
+)
+def stratified_sample_docs(spark, sf_dir):
+    """Deterministic rate-based stratified sampling by language
+    (operators/sampling.stratified_sample): hash-draw per (lang, id), so
+    the sample is byte-reproducible under any partitioning or engine —
+    `rand(seed)` is neither. Pure narrow filter, no shuffle."""
+    d = t(spark, sf_dir, "documents")
+    return SP.stratified_sample(
+        d, "lang", "doc_id", _STRAT_PERMILLE, default_permille=_STRAT_DEFAULT
+    ).select("doc_id", "lang")
+
+
+_RESERVOIR_K = 20
+
+
+@q(
+    "reservoir_sample_docs",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {_STRAT_DRAW_SQL} ASC, doc_id ASC) AS rk
+      FROM documents)
+    WHERE rk <= {_RESERVOIR_K}
+    """,
+)
+def reservoir_sample_docs(spark, sf_dir):
+    """Deterministic fixed-k-per-stratum sample
+    (operators/sampling.reservoir_sample): the k smallest hash draws per
+    language, ties broken by id — reservoir-sample distribution, exact
+    reproducibility. One shuffle on the stratum key."""
+    d = t(spark, sf_dir, "documents")
+    return SP.reservoir_sample(d, "lang", "doc_id", k=_RESERVOIR_K).select(
+        "doc_id", "lang"
+    )
+
+
+_PACK_BUDGET = 500
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+              AS BIGINT) AS tok
+  FROM documents),
+nz AS (SELECT * FROM t WHERE tok > 0),
+c AS (SELECT doc_id, tok,
+             CAST(SUM(tok) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS e
+      FROM nz),
+s AS (SELECT doc_id, tok, e, e - tok AS s0 FROM c)
+SELECT CAST(ch AS BIGINT) AS chunk_id, doc_id,
+       CAST(least(e, (ch + 1) * {_PACK_BUDGET})
+            - greatest(s0, ch * {_PACK_BUDGET}) AS BIGINT) AS n_tokens
+FROM s, UNNEST(generate_series(s0 // {_PACK_BUDGET}, (e - 1) // {_PACK_BUDGET})) AS g(ch)
+"""
+
+
+@q("pack_sequences_chunks", _PACK_ORACLE)
+def pack_sequences_chunks(spark, sf_dir):
+    """GPT-style sequence packing (operators/sampling.pack_sequences):
+    concatenate every doc's tokens in id order, split the stream into
+    fixed 500-token chunks, emit (chunk, doc, tokens-contributed) for
+    each straddle. The oracle's global ORDER BY window is exactly the
+    plan the Spark side refuses to run — it computes the same prefix sum
+    via id-range buckets + an O(n_buckets) driver cumsum so the shuffle
+    stays spread instead of collapsing onto one partition."""
+    d = t(spark, sf_dir, "documents")
+    base = d.select("doc_id", TX.token_count_ws(F.col("text")).alias("tok"))
+    return SP.pack_sequences(
+        base, "doc_id", F.col("tok"), budget=_PACK_BUDGET, n_buckets=16
+    )
+
+
 # Entries that yield first under a driver gate cap (they sort to the END
 # of the oracled block; the LAST name is cut first). Every name here is
 # value-checked in CI instead (tests/test_queries_contract.py SUBSET), so
@@ -2762,6 +3020,30 @@ _YIELD_FIRST_UNDER_CAP = [
     "minhash_dedup_survivors",
     "tld_counts",
     "customers_without_orders",
+    #   * r5 second wave — four yields so the new-semantics LLM-pipeline
+    #     queries (pii_redaction, decontaminate_docs, line_dedup_docs,
+    #     pack_sequences_chunks) gate; all four yields are value-checked
+    #     in CI and their shapes stay gated elsewhere:
+    #     - top_orders_per_customer: the §2.10 rank-window shape is
+    #       gated via line_dedup_docs (row_number first-occurrence
+    #       window) and was already double-anchored;
+    #     - order_priority_report: A9 progress-ratio semantics are
+    #       gated via parse_progress_report over the engine's OWN store
+    #       tables (the stronger anchor);
+    #     - topic_filter_stats: same W7 aggregated side-output shape as
+    #       the still-gated stream_filter_stats;
+    #     - minhash_dedup_pairs: the A2/M2 banded signature chain is
+    #       gated three ways (minhash_cc_components,
+    #       minhash_dedup_cc_survivors, create_corpus_pipeline).
+    "top_orders_per_customer",
+    "order_priority_report",
+    "topic_filter_stats",
+    "minhash_dedup_pairs",
+    #   * sampling extras: deterministic hash-draw filters; the simpler
+    #     two of the r5 second wave yield (CI-value-checked), the
+    #     rank-window reservoir shape stays gated via line_dedup_docs.
+    "stratified_sample_docs",
+    "reservoir_sample_docs",
     "corpus_filenames",
     "running_value_per_user",
     "pivot_status_by_priority",

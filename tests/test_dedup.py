@@ -233,3 +233,89 @@ def test_minhash_dedup_cc_no_relevance_keeps_min_id(spark):
         for r in minhash_dedup_cc(df, "text", "doc_id", threshold=0.4).collect()
     )
     assert got == [3, 4]
+
+
+# --- benchmark decontamination (decontaminate) ------------------------------
+
+
+def _gram(words):
+    return " ".join(words)
+
+
+def test_decontaminate_flags_shared_ngram_docs(spark):
+    from commoncrawlscalatools_spark.operators.dedup import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # doc 1 embeds the bench's first 8-gram verbatim; doc 2 is clean; doc 3
+    # shares only a 7-token run (below n=8) — must NOT be flagged.
+    contaminated = "noise " + _gram(bench_text.split()[:8]) + " more noise"
+    near_miss = "noise " + _gram(bench_text.split()[:7]) + " unrelated tail words here"
+    corpus = spark.createDataFrame(
+        [(1, contaminated), (2, OTHER), (3, near_miss)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_hit_ngrams"] for r in decontaminate(corpus, bench).collect()}
+    assert got == {1: 1}
+
+
+def test_decontaminate_counts_distinct_hit_grams(spark):
+    from commoncrawlscalatools_spark.operators.dedup import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    # embedding the bench's first NINE tokens yields two overlapping 8-grams
+    doc = "x " + _gram(bench_text.split()[:9]) + " y"
+    corpus = spark.createDataFrame([(1, doc)], ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["n_hit_ngrams"] for r in decontaminate(corpus, bench).collect()}
+    assert got == {1: 2}
+
+
+def test_decontaminate_bench_side_broadcasts(spark):
+    from commoncrawlscalatools_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame([(1, BASE)], ["doc_id", "text"])
+    bench = spark.createDataFrame([(2, OTHER)], ["doc_id", "text"])
+    plan = decontaminate(corpus, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+# --- corpus-wide line dedup (dedup_lines) -----------------------------------
+
+
+def _line_docs(spark):
+    rows = [
+        (1, ["unique one", "shared boilerplate", "", "unique two"]),
+        (2, ["shared boilerplate", "only in two", ""]),
+        (3, ["shared boilerplate", "shared boilerplate"]),  # in-doc repeat too
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "lines"])
+
+
+def test_dedup_lines_keeps_first_occurrence_only(spark):
+    from commoncrawlscalatools_spark.operators.dedup import dedup_lines
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: (r["n_lines_kept"], r["clean_text"])
+        for r in dedup_lines(_line_docs(spark), F.col("lines")).collect()
+    }
+    # doc 1 has the global first occurrence of the boilerplate (id order)
+    assert got[1] == (4, "unique one\nshared boilerplate\n\nunique two")
+    # doc 2 loses it but keeps its empty line (layout, not content)
+    assert got[2] == (2, "only in two\n")
+    # doc 3 was ONLY duplicate lines -> nothing kept, doc drops out
+    assert 3 not in got
+
+
+def test_dedup_lines_deterministic_under_partitioning(spark):
+    from commoncrawlscalatools_spark.operators.dedup import dedup_lines
+    from pyspark.sql import functions as F
+
+    a = sorted(map(tuple, dedup_lines(_line_docs(spark), F.col("lines")).collect()))
+    b = sorted(
+        map(
+            tuple,
+            dedup_lines(_line_docs(spark).repartition(7), F.col("lines")).collect(),
+        )
+    )
+    assert a == b

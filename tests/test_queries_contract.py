@@ -72,6 +72,20 @@ SUBSET = [
     # oracle and gates; multi_field_relevance_topk yielded its slot
     "ann_ivf_topk_partitioned",
     "multi_field_relevance_topk",
+    # r5 second wave: LLM-pipeline extensions (the 4 new-semantics entries
+    # gate; all 6 checked here) + the four redundant anchors that yielded
+    # their cap slots (value-checked here instead — see the yield-list
+    # notes in queries.py)
+    "pii_redaction",
+    "decontaminate_docs",
+    "line_dedup_docs",
+    "stratified_sample_docs",
+    "reservoir_sample_docs",
+    "pack_sequences_chunks",
+    "top_orders_per_customer",
+    "order_priority_report",
+    "topic_filter_stats",
+    "minhash_dedup_pairs",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()

@@ -1,0 +1,143 @@
+"""Deterministic sampling + sequence packing tests (operators/sampling.py).
+Everything must be byte-reproducible under re-partitioning — the whole
+point of hash-draw sampling over rand(seed)."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from commoncrawlscalatools_spark.operators.sampling import (
+    pack_sequences,
+    reservoir_sample,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=400):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "lang": [["en", "es", "de", "fr"][i % 4] for i in range(n)],
+        }
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_stratified_rates_and_boundaries(spark):
+    d = _docs(spark)
+    out = stratified_sample(
+        d, "lang", "doc_id", {"en": 1000, "es": 500, "de": 0}, default_permille=250
+    )
+    by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by.get("en") == 100          # permille 1000 keeps every row
+    assert "de" not in by               # permille 0 drops every row
+    assert 25 <= by.get("es", 0) <= 75  # ~50% of 100
+    assert 10 <= by.get("fr", 0) <= 45  # default ~25% of 100
+
+
+def test_stratified_deterministic_under_partitioning(spark):
+    d = _docs(spark)
+    kw = dict(strata_col="lang", id_col="doc_id", permille={"en": 300, "es": 700})
+    a = sorted(r["doc_id"] for r in stratified_sample(d, **kw).collect())
+    b = sorted(
+        r["doc_id"] for r in stratified_sample(d.repartition(13, "lang"), **kw).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_stratified_draws_independent_across_strata(spark):
+    # The same id must not share its fate across strata (the draw is
+    # salted with the stratum): relabel every row 'en'->'es' and the kept
+    # id set should differ at equal rates.
+    pdf = pd.DataFrame({"doc_id": range(300), "lang": ["en"] * 300})
+    a = {
+        r["doc_id"]
+        for r in stratified_sample(
+            spark.createDataFrame(pdf), "lang", "doc_id", {"en": 300}
+        ).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in stratified_sample(
+            spark.createDataFrame(pdf.assign(lang="es")), "lang", "doc_id", {"es": 300}
+        ).collect()
+    }
+    assert a != b
+
+
+def test_reservoir_exact_k_and_determinism(spark):
+    d = _docs(spark)
+    out = reservoir_sample(d, "lang", "doc_id", k=7)
+    by = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 7 for v in by.values()) and len(by) == 4
+    again = reservoir_sample(d.repartition(9), "lang", "doc_id", k=7)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_reservoir_small_stratum_returns_all(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "lang": ["xx"] * 3})
+    out = reservoir_sample(spark.createDataFrame(pdf), "lang", "doc_id", k=10)
+    assert out.count() == 3
+
+
+def _pack_reference(ids, toks, budget):
+    """Independent pandas reference: concat in id order, split at budget."""
+    rows, end = [], 0
+    for i, tk in sorted(zip(ids, toks)):
+        if tk <= 0:
+            continue
+        start, end = end, end + tk
+        for ch in range(start // budget, (end - 1) // budget + 1):
+            rows.append(
+                (ch, i, min(end, (ch + 1) * budget) - max(start, ch * budget))
+            )
+    return sorted(rows)
+
+
+def test_pack_sequences_matches_reference(spark):
+    ids = list(range(50))
+    toks = [(7 * i * i + 13) % 230 + 1 for i in ids]  # varied sizes, some > budget/2
+    pdf = pd.DataFrame({"doc_id": ids, "tok": toks})
+    out = pack_sequences(
+        spark.createDataFrame(pdf).repartition(8),
+        "doc_id",
+        F.col("tok"),
+        budget=100,
+        n_buckets=6,
+    )
+    got = sorted((r["chunk_id"], r["doc_id"], r["n_tokens"]) for r in out.collect())
+    assert got == _pack_reference(ids, toks, 100)
+
+
+def test_pack_sequences_chunk_budget_invariant(spark):
+    ids = list(range(80))
+    toks = [(11 * i + 3) % 97 + 1 for i in ids]
+    pdf = pd.DataFrame({"doc_id": ids, "tok": toks})
+    out = pack_sequences(
+        spark.createDataFrame(pdf), "doc_id", F.col("tok"), budget=64, n_buckets=5
+    )
+    per_chunk = {
+        r["chunk_id"]: r["s"]
+        for r in out.groupBy("chunk_id").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    total = sum(toks)
+    last = max(per_chunk)
+    for ch, s in per_chunk.items():
+        assert s == 64 or (ch == last and s == total - 64 * last)
+    assert sum(per_chunk.values()) == total
+    assert set(per_chunk) == set(range(last + 1))  # no chunk gaps
+
+
+def test_pack_sequences_drops_empty_docs_and_empty_input(spark):
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "tok": [0, 5, 0]})
+    out = pack_sequences(
+        spark.createDataFrame(pdf), "doc_id", F.col("tok"), budget=10
+    ).collect()
+    assert [(r["chunk_id"], r["doc_id"], r["n_tokens"]) for r in out] == [(0, 2, 5)]
+    empty = pack_sequences(
+        spark.createDataFrame(pdf[pdf.tok < 0], schema="doc_id long, tok long"),
+        "doc_id",
+        F.col("tok"),
+        budget=10,
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["chunk_id", "doc_id", "n_tokens"]
