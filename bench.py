@@ -72,6 +72,12 @@ HEADLINE = [
     "url_canonicalize",
     "frontier_schedule",
     "frontier_retries",
+    # r5 second wave (LLM-pipeline extensions)
+    "pii_redaction",
+    "decontaminate_docs",
+    "line_dedup_docs",
+    "pack_sequences_chunks",
+    "lm_perplexity_scores",
 ]
 
 

@@ -2951,6 +2951,48 @@ def pack_sequences_chunks(spark, sf_dir):
     )
 
 
+_LM_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+el AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+       FROM (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+             FROM t WHERE len(toks) >= 2)),
+bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM el GROUP BY w1, w2),
+uni AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bi GROUP BY w1),
+v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab_size
+      FROM (SELECT unnest(toks) AS w FROM t)),
+sc AS (SELECT e.doc_id,
+              CAST(round(-ln((coalesce(b.c12, 0) + 0.5e0)
+                             / (coalesce(u.c1, 0) + 0.5e0 * v.vocab_size)) * 1e6)
+                   AS BIGINT) AS nm
+       FROM el e
+       LEFT JOIN bi b USING (w1, w2)
+       LEFT JOIN uni u USING (w1)
+       CROSS JOIN v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(nm) AS BIGINT) AS nll_micro
+FROM sc GROUP BY doc_id
+"""
+
+
+@q("lm_perplexity_scores", _LM_ORACLE)
+def lm_perplexity_scores(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lm.py): train an add-k
+    bigram model on the corpus (in-row pair build, two map-side-combinable
+    aggregates, prefix counts derived from the bigram table — one corpus
+    pass) and score every doc's total negative log-likelihood in integer
+    MICRO-nats (bigint sum — order-independent, hash-stable cross-engine;
+    float sums are not). The vocab scalar rides as a broadcast 1-row
+    relation, never a driver collect."""
+    d = t(spark, sf_dir, "documents")
+    from commoncrawlscalatools_spark.operators import lm as LM
+
+    uni, bi, vocab = LM.train_bigram_lm(d, "text", "doc_id")
+    return LM.score_bigram_nll(d, uni, bi, vocab, "text", "doc_id", k=0.5)
+
+
 # Entries that yield first under a driver gate cap (they sort to the END
 # of the oracled block; the LAST name is cut first). Every name here is
 # value-checked in CI instead (tests/test_queries_contract.py SUBSET), so
@@ -3044,6 +3086,13 @@ _YIELD_FIRST_UNDER_CAP = [
     #     rank-window reservoir shape stays gated via line_dedup_docs.
     "stratified_sample_docs",
     "reservoir_sample_docs",
+    #   * doc_fingerprints — F3's md5-hash shape is the single most
+    #     re-anchored expression in the gate (dup_span_removal clean_md5,
+    #     line_dedup_docs clean_md5, pii_redaction redacted_md5, every
+    #     minhash band key); yielded so the CCNet-style LM perplexity
+    #     scorer (lm_perplexity_scores — genuinely new train+score
+    #     semantics) gates.
+    "doc_fingerprints",
     "corpus_filenames",
     "running_value_per_user",
     "pivot_status_by_priority",

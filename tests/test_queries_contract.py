@@ -86,6 +86,10 @@ SUBSET = [
     "order_priority_report",
     "topic_filter_stats",
     "minhash_dedup_pairs",
+    # r5: bigram-LM perplexity scorer (gated) + the md5 anchor that
+    # yielded its cap slot
+    "lm_perplexity_scores",
+    "doc_fingerprints",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
