@@ -78,6 +78,7 @@ HEADLINE = [
     "line_dedup_docs",
     "pack_sequences_chunks",
     "lm_perplexity_scores",
+    "training_data_pipeline",
 ]
 
 

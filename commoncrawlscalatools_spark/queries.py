@@ -2716,6 +2716,15 @@ def _pii_aug_tail_sql() -> str:
     )
 
 
+def _pii_redact_sql(col: str) -> str:
+    """The redaction chain as DuckDB SQL, in PII_PATTERNS order — the same
+    cross-engine contract the Spark side applies."""
+    red = col
+    for kind, pat in PII.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{PII.REDACT_TOKENS[kind]}', 'g')"
+    return red
+
+
 def _pii_oracle() -> str:
     count_cols = ", ".join(
         f"CAST(len(regexp_extract_all(txt, '{pat}')) AS BIGINT) AS n_{kind}"
@@ -2724,9 +2733,7 @@ def _pii_oracle() -> str:
     total = " + ".join(
         f"len(regexp_extract_all(txt, '{pat}'))" for _, pat in PII.PII_PATTERNS
     )
-    red = "txt"
-    for kind, pat in PII.PII_PATTERNS:
-        red = f"regexp_replace({red}, '{pat}', '{PII.REDACT_TOKENS[kind]}', 'g')"
+    red = _pii_redact_sql("txt")
     return f"""
     WITH aug AS (
       SELECT doc_id, text || {_pii_aug_tail_sql()} AS txt FROM documents)
@@ -2977,6 +2984,84 @@ FROM sc GROUP BY doc_id
 """
 
 
+_TDP_PERMILLE = {"en": 400, "zh": 800, "es": 600, "de": 600, "fr": 600}
+_TDP_DEFAULT = 500
+
+
+def _training_pipeline_oracle() -> str:
+    """The composed end-to-end oracle: the same verified fragments
+    (quality gate, exact-dedup winner, decontamination grams, PII chain,
+    stratified draw, packing prefix-sum) nested as one CTE chain —
+    the create_corpus_pipeline pattern applied to the extension family."""
+    qg = _quality_gate_oracle()
+    red = _pii_redact_sql("text")
+    rate = " ".join(
+        f"WHEN '{lang}' THEN {p}" for lang, p in sorted(_TDP_PERMILLE.items())
+    )
+    n, mod, b = _DECON_N, _DECON_MOD, _PACK_BUDGET
+    return f"""
+WITH qg AS (SELECT doc_id FROM ({qg}) q WHERE q.pass_len AND q.pass_repetition),
+base AS (SELECT d.* FROM documents d JOIN qg USING (doc_id)),
+ded AS (SELECT min(doc_id) AS doc_id FROM base GROUP BY md5(text)),
+base2 AS (SELECT b2.* FROM base b2 JOIN ded USING (doc_id)),
+corpus0 AS (SELECT doc_id, lang, text,
+                   list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+            FROM base2 WHERE doc_id % {mod} <> 0),
+benchd AS (SELECT doc_id,
+                  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+           FROM documents WHERE doc_id % {mod} = 0),
+ck AS (SELECT DISTINCT doc_id, md5(array_to_string(toks[pos+1:pos+{n}], ' ')) AS key
+       FROM (SELECT doc_id, unnest(range(0, len(toks) - {n} + 1)) AS pos, toks
+             FROM corpus0 WHERE len(toks) >= {n})),
+bk AS (SELECT DISTINCT md5(array_to_string(toks[pos+1:pos+{n}], ' ')) AS key
+       FROM (SELECT doc_id, unnest(range(0, len(toks) - {n} + 1)) AS pos, toks
+             FROM benchd WHERE len(toks) >= {n})),
+contaminated AS (SELECT DISTINCT doc_id FROM ck JOIN bk USING (key)),
+clean AS (SELECT * FROM corpus0
+          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+red AS (SELECT doc_id, lang, {red} AS text FROM clean),
+samp AS (SELECT * FROM red
+         WHERE {_STRAT_DRAW_SQL} < CASE lang {rate} ELSE {_TDP_DEFAULT} END),
+tt AS (SELECT doc_id,
+              CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+                   AS BIGINT) AS tok
+       FROM samp),
+nz AS (SELECT * FROM tt WHERE tok > 0),
+c AS (SELECT doc_id, tok,
+             CAST(SUM(tok) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS e
+      FROM nz),
+s AS (SELECT doc_id, tok, e, e - tok AS s0 FROM c)
+SELECT CAST(ch AS BIGINT) AS chunk_id, doc_id,
+       CAST(least(e, (ch + 1) * {b}) - greatest(s0, ch * {b}) AS BIGINT) AS n_tokens
+FROM s, UNNEST(generate_series(s0 // {b}, (e - 1) // {b})) AS g(ch)
+"""
+
+
+@q("training_data_pipeline", _training_pipeline_oracle())
+def training_data_pipeline_q(spark, sf_dir):
+    """The extension-family flagship (plans/training.py): quality gate →
+    exact dedup → benchmark decontamination → PII redaction →
+    deterministic stratified sampling → sequence packing, composed
+    end-to-end with zero driver exits (packing's two O(1) scalars
+    excepted) and verified by nesting every stage's already-proven
+    oracle fragment into one CTE chain."""
+    from commoncrawlscalatools_spark.plans.training import training_data_pipeline
+
+    d = t(spark, sf_dir, "documents")
+    return training_data_pipeline(
+        d,
+        gate_params=_QG,
+        permille=_TDP_PERMILLE,
+        default_permille=_TDP_DEFAULT,
+        bench_mod=_DECON_MOD,
+        decon_n=_DECON_N,
+        budget=_PACK_BUDGET,
+        n_buckets=16,
+    )
+
+
 @q("lm_perplexity_scores", _LM_ORACLE)
 def lm_perplexity_scores(spark, sf_dir):
     """CCNet-style LM quality scoring (operators/lm.py): train an add-k
@@ -3086,6 +3171,11 @@ _YIELD_FIRST_UNDER_CAP = [
     #     rank-window reservoir shape stays gated via line_dedup_docs.
     "stratified_sample_docs",
     "reservoir_sample_docs",
+    #   * decontaminate_docs — subsumed by the gated
+    #     training_data_pipeline, which runs the identical decontamination
+    #     stage (same n, same bench split, same broadcast-gram plan)
+    #     end-to-end inside the composed job.
+    "decontaminate_docs",
     #   * doc_fingerprints — F3's md5-hash shape is the single most
     #     re-anchored expression in the gate (dup_span_removal clean_md5,
     #     line_dedup_docs clean_md5, pii_redaction redacted_md5, every

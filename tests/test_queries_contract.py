@@ -90,6 +90,9 @@ SUBSET = [
     # yielded its cap slot
     "lm_perplexity_scores",
     "doc_fingerprints",
+    # r5: the composed extension-family flagship (gated; checked here for
+    # fast CI like create_corpus_pipeline)
+    "training_data_pipeline",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
