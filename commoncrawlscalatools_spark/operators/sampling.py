@@ -95,9 +95,18 @@ def pack_sequences(
     Docs with zero tokens are dropped (they occupy no stream positions).
     """
     spark = df.sparkSession
-    base = df.select(
-        F.col(id_col).cast("long").alias("_id"), tokens_col.cast("long").alias("_tok")
-    ).where(F.col("_tok") > 0)
+    # The packing protocol reads its input three times (id-range agg,
+    # per-bucket sums, the final cumsum window). The input may be a whole
+    # upstream pipeline (plans/training.py) — persist the narrow
+    # (id, tok) projection (16 B/row) so upstream runs ONCE, not 3×.
+    base = (
+        df.select(
+            F.col(id_col).cast("long").alias("_id"),
+            tokens_col.cast("long").alias("_tok"),
+        )
+        .where(F.col("_tok") > 0)
+        .persist()
+    )
 
     lo, hi = base.agg(F.min("_id"), F.max("_id")).first()
     if lo is None:
