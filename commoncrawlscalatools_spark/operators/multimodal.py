@@ -88,3 +88,100 @@ def extract_media_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(extract, MEDIA_META_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("n_pixel_bytes", T.LongType(), False),
+        T.StructField("pixels", T.BinaryType(), False),
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Image resize plumbing: modality filter pushed to Spark (partition
+    pruning at 100 TB — the decode pass reads only the image partitions),
+    then an Arrow-batched mapInPandas emitting a fixed out_w×out_h×3 RGB
+    buffer per image. The codec step is the documented env stub (no
+    PIL/cv2 in this container): the fake 'resized' buffer is the payload's
+    md5 hex tiled to exactly n bytes — deterministic, size-exact, and
+    reproducible in SQL, so the binary-out batch shape (the part that
+    matters for the real decoder drop-in) is oracle-verified."""
+    n = out_w * out_h * 3
+    reps = -(-n // 32)
+
+    def gen(batches):
+        for pdf in batches:
+            hexes = pdf["payload"].map(lambda b: hashlib.md5(b).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "width": np.int32(out_w),
+                    "height": np.int32(out_h),
+                    "n_pixel_bytes": np.int64(n),
+                    "pixels": hexes.map(lambda hx: (hx * reps)[:n].encode("ascii")),
+                }
+            )
+
+    return media.where(F.col("modality") == "image").mapInPandas(
+        gen, RESIZED_SCHEMA
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("duration_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def fake_duration_ms(ref: str) -> int:
+    """Deterministic fake clip duration (1–61 s) from the ref hash — the
+    stand-in for reading the container header (no ffmpeg here)."""
+    return int(hashlib.md5(ref.encode()).hexdigest()[:8], 16) % 60000 + 1000
+
+
+def sample_frames(
+    media: DataFrame, interval_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Video frame-sampling plumbing: one input row fans out to one output
+    row per sampled timestamp (0, interval, 2·interval … < duration,
+    capped at max_frames) — the 1→N batch shape a real ffmpeg-backed
+    sampler produces. Modality filter pushed to Spark; per-clip Python is
+    inherent to codec work (decode is per-file), but it runs inside Arrow
+    batches, never per-row on the wire. Frame bytes are the documented
+    env stub: md5('FRAME:ref:idx') ascii — deterministic and SQL-
+    reproducible, so fan-out arithmetic and schema are oracle-verified."""
+
+    def gen(batches):
+        for pdf in batches:
+            refs, idxs, ts, durs, frames = [], [], [], [], []
+            for ref in pdf["media_ref"]:
+                dur = fake_duration_ms(ref)
+                nf = min(max_frames, (dur - 1) // interval_ms + 1)
+                for i in range(nf):
+                    refs.append(ref)
+                    idxs.append(i)
+                    ts.append(i * interval_ms)
+                    durs.append(dur)
+                    frames.append(
+                        hashlib.md5(f"FRAME:{ref}:{i}".encode()).hexdigest().encode()
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_ref": pd.Series(refs, dtype="object"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "ts_ms": pd.Series(ts, dtype="int64"),
+                    "duration_ms": pd.Series(durs, dtype="int64"),
+                    "frame": pd.Series(frames, dtype="object"),
+                }
+            )
+
+    return media.where(F.col("modality") == "video").mapInPandas(gen, FRAME_SCHEMA)

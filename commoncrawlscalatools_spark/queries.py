@@ -1770,6 +1770,104 @@ def media_payload_metadata(spark, sf_dir):
     )
 
 
+_RESIZE_W, _RESIZE_H = 64, 48
+_FRAME_INTERVAL_MS, _FRAME_MAX = 1000, 8
+
+
+@q(
+    "media_resize_plan",
+    f"""
+    WITH m AS (SELECT DISTINCT 'media://img/' || md5(text) AS media_ref
+               FROM documents),
+    p AS (SELECT media_ref,
+                 'FAKEBLOB:' || media_ref || ':' || repeat('x', 64) AS s
+          FROM m),
+    px AS (SELECT media_ref,
+                  substr(repeat(md5(s), {-(-(_RESIZE_W * _RESIZE_H * 3) // 32)}),
+                         1, {_RESIZE_W * _RESIZE_H * 3}) AS pixhex
+           FROM p)
+    SELECT media_ref, {_RESIZE_W} AS width, {_RESIZE_H} AS height,
+           CAST({_RESIZE_W * _RESIZE_H * 3} AS BIGINT) AS n_pixel_bytes,
+           md5(pixhex) AS pixels_md5
+    FROM px
+    """,
+)
+def media_resize_plan(spark, sf_dir):
+    """Image-resize plumbing under the oracle gate
+    (operators/multimodal.resize_images): modality filter pushed to Spark,
+    Arrow-batched mapInPandas emitting an exact out_w×out_h×3 buffer per
+    image; the deterministic fake buffer's md5 + byte count are
+    SQL-reproduced, so the binary-out batch shape is value-verified
+    (a real PIL/cv2 decoder drops into the stubbed codec step)."""
+    from commoncrawlscalatools_spark.operators import multimodal as MM
+
+    d = t(spark, sf_dir, "documents")
+    media = (
+        d.select(F.concat(F.lit("media://img/"), F.md5("text")).alias("media_ref"))
+        .distinct()
+        .select(
+            "media_ref",
+            F.lit("image").alias("modality"),
+            F.encode(
+                F.concat(
+                    F.lit("FAKEBLOB:"), F.col("media_ref"), F.lit(":"),
+                    F.repeat(F.lit("x"), 64),
+                ),
+                "utf-8",
+            ).alias("payload"),
+        )
+    )
+    out = MM.resize_images(media, _RESIZE_W, _RESIZE_H)
+    return out.select(
+        "media_ref", "width", "height", "n_pixel_bytes",
+        F.md5("pixels").alias("pixels_md5"),
+    )
+
+
+@q(
+    "media_frame_samples",
+    f"""
+    WITH m AS (SELECT DISTINCT 'media://vid/' || md5(text) AS media_ref
+               FROM documents),
+    h AS (SELECT media_ref,
+                 CAST(('0x' || substr(md5(media_ref), 1, 8)) AS BIGINT)
+                 % 60000 + 1000 AS dur
+          FROM m),
+    n AS (SELECT media_ref, dur,
+                 least({_FRAME_MAX}, (dur - 1) // {_FRAME_INTERVAL_MS} + 1) AS nf
+          FROM h)
+    SELECT media_ref, CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * {_FRAME_INTERVAL_MS} AS BIGINT) AS ts_ms,
+           CAST(dur AS BIGINT) AS duration_ms,
+           md5('FRAME:' || media_ref || ':' || CAST(i AS VARCHAR)) AS frame_md5
+    FROM n, UNNEST(generate_series(0, nf - 1)) AS g(i)
+    """,
+)
+def media_frame_samples(spark, sf_dir):
+    """Video frame-sampling plumbing under the oracle gate
+    (operators/multimodal.sample_frames): per-clip 1→N fan-out inside
+    Arrow batches (one row per sampled timestamp, capped), the batch shape
+    a real ffmpeg sampler produces; the fake duration/frame bytes are
+    SQL-reproduced so the fan-out arithmetic and schema are value-checked."""
+    from commoncrawlscalatools_spark.operators import multimodal as MM
+
+    d = t(spark, sf_dir, "documents")
+    media = (
+        d.select(F.concat(F.lit("media://vid/"), F.md5("text")).alias("media_ref"))
+        .distinct()
+        .select(
+            "media_ref",
+            F.lit("video").alias("modality"),
+            F.encode(F.col("media_ref"), "utf-8").alias("payload"),
+        )
+    )
+    out = MM.sample_frames(media, _FRAME_INTERVAL_MS, _FRAME_MAX)
+    return out.select(
+        "media_ref", "frame_idx", "ts_ms", "duration_ms",
+        F.decode(F.col("frame"), "utf-8").alias("frame_md5"),
+    )
+
+
 @q("sessionize_stateful_stream", None)
 def sessionize_stateful_stream(spark, sf_dir):
     """applyInPandasWithState sessionization driven as a real two-micro-batch
@@ -3176,6 +3274,11 @@ _YIELD_FIRST_UNDER_CAP = [
     #     stage (same n, same bench split, same broadcast-gram plan)
     #     end-to-end inside the composed job.
     "decontaminate_docs",
+    #   * media_resize_plan / media_frame_samples — multimodal PLUMBING
+    #     extras (resize buffer shape, frame fan-out); the binary
+    #     mapInPandas path itself stays gated via media_payload_metadata.
+    "media_resize_plan",
+    "media_frame_samples",
     #   * doc_fingerprints — F3's md5-hash shape is the single most
     #     re-anchored expression in the gate (dup_span_removal clean_md5,
     #     line_dedup_docs clean_md5, pii_redaction redacted_md5, every

@@ -93,6 +93,10 @@ SUBSET = [
     # r5: the composed extension-family flagship (gated; checked here for
     # fast CI like create_corpus_pipeline)
     "training_data_pipeline",
+    # r5: multimodal resize/frame-sample plumbing (cap yields — the binary
+    # mapInPandas path stays gated via media_payload_metadata)
+    "media_resize_plan",
+    "media_frame_samples",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
