@@ -2510,6 +2510,35 @@ def embedding_near_dup_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "embedding_cc_components",
+    f"""
+    WITH RECURSIVE vp AS ({_cosine_near_dup_oracle()}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM vp
+      UNION SELECT id_b AS u, id_a AS v FROM vp),
+    reach(node, r) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT re.node, e.v FROM reach re JOIN edges e ON re.r = e.u),
+    comp AS (SELECT node, least(node, min(r)) AS comp FROM reach GROUP BY node)
+    SELECT node, comp FROM comp
+    """,
+)
+def embedding_cc_components(spark, sf_dir):
+    """SEMANTIC dedup clusters: connected components over the
+    embedding-cosine near-dup pair graph — the embedding-space analog of
+    minhash_cc_components (same large-star/small-star CC operator, same
+    recursive-CTE oracle shape; a~b, b~c ⇒ one cluster {a,b,c} even when
+    a and c aren't directly similar). Completes the transitive-dedup
+    family across both similarity spaces."""
+    e = t(spark, sf_dir, "embeddings")
+    pairs = SM.cosine_near_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.35, dim=64, n_planes=4
+    )
+    return DD.connected_components(pairs, "id_a", "id_b")
+
+
 def _ann_lsh_oracle(k: int = 10, n_planes: int = 3, probe_bits: int = 1,
                     seed: int = 7, dim: int = 64) -> str:
     bucket = _lsh_bucket_sql("ev", n_planes, seed, dim)
@@ -3274,6 +3303,11 @@ _YIELD_FIRST_UNDER_CAP = [
     #     stage (same n, same bench split, same broadcast-gram plan)
     #     end-to-end inside the composed job.
     "decontaminate_docs",
+    #   * embedding_cc_components — the CC operator is gated twice via
+    #     minhash_cc_components + minhash_dedup_cc_survivors; the
+    #     embedding-space variant (same operator over the gated
+    #     embedding_near_dup_pairs graph) yields, CI-value-checked.
+    "embedding_cc_components",
     #   * media_resize_plan / media_frame_samples — multimodal PLUMBING
     #     extras (resize buffer shape, frame fan-out); the binary
     #     mapInPandas path itself stays gated via media_payload_metadata.

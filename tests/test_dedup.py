@@ -319,3 +319,47 @@ def test_dedup_lines_deterministic_under_partitioning(spark):
         )
     )
     assert a == b
+
+
+def _dedup_lines_reference(docs):
+    """Naive single-threaded reference: first (id, pos) occurrence wins;
+    empty lines always kept."""
+    seen, out = set(), {}
+    for doc_id, lines in sorted(docs):
+        kept = []
+        for line in lines:
+            if line == "" or line not in seen:
+                kept.append(line)
+                if line != "":
+                    seen.add(line)
+        if kept:
+            out[doc_id] = (len(kept), "\n".join(kept))
+    return out
+
+
+def test_dedup_lines_property_vs_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from commoncrawlscalatools_spark.operators.dedup import dedup_lines
+    from pyspark.sql import functions as F
+
+    # tiny alphabet so cross-doc collisions are dense
+    line_st = st.sampled_from(["", "a", "b", "c d", "e f g"])
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(line_st, min_size=0, max_size=6), min_size=1, max_size=8
+        )
+    )
+    def run(docs):
+        rows = [(i, lines) for i, lines in enumerate(docs)]
+        df = spark.createDataFrame(rows, schema="doc_id long, lines array<string>")
+        got = {
+            r["doc_id"]: (r["n_lines_kept"], r["clean_text"])
+            for r in dedup_lines(df.repartition(3), F.col("lines")).collect()
+        }
+        assert got == _dedup_lines_reference(rows)
+
+    run()

@@ -97,6 +97,9 @@ SUBSET = [
     # mapInPandas path stays gated via media_payload_metadata)
     "media_resize_plan",
     "media_frame_samples",
+    # r5: embedding-space transitive dedup clusters (cap yield — CC is
+    # double-gated in the minhash family)
+    "embedding_cc_components",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()

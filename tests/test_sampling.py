@@ -141,3 +141,35 @@ def test_pack_sequences_drops_empty_docs_and_empty_input(spark):
     )
     assert empty.count() == 0
     assert empty.columns == ["chunk_id", "doc_id", "n_tokens"]
+
+
+# --- property fuzz: the distributed packing rewrite vs the naive reference --
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=60),
+    budget=st.integers(min_value=1, max_value=200),
+    n_buckets=st.integers(min_value=1, max_value=12),
+    id_stride=st.integers(min_value=1, max_value=9),
+)
+def test_pack_sequences_property_vs_reference(
+    spark, toks, budget, n_buckets, id_stride
+):
+    # non-contiguous ids, zero-token docs, tokens larger than the budget,
+    # more buckets than docs — the bucketed prefix-sum must match the
+    # naive concat-then-split reference on all of them
+    ids = [i * id_stride for i in range(len(toks))]
+    pdf = pd.DataFrame({"doc_id": ids, "tok": toks})
+    out = pack_sequences(
+        spark.createDataFrame(pdf, schema="doc_id long, tok long").repartition(4),
+        "doc_id",
+        F.col("tok"),
+        budget=budget,
+        n_buckets=n_buckets,
+    )
+    got = sorted((r["chunk_id"], r["doc_id"], r["n_tokens"]) for r in out.collect())
+    assert got == _pack_reference(ids, toks, budget)
