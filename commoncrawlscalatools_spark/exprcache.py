@@ -11,6 +11,7 @@ a dead context (stale JVM refs) are dropped on the next build.
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Callable, TypeVar
 
 from pyspark.sql import SparkSession
@@ -18,19 +19,27 @@ from pyspark.sql import SparkSession
 T = TypeVar("T")
 
 _CACHE: dict[tuple, Any] = {}
+# CrawlEngine invokes cached builders from its commit thread pool
+# (ADVICE r5 #3): the lookup / stale-eviction / insert steps mutate _CACHE
+# concurrently, so they run under a lock. The build itself runs OUTSIDE
+# the lock (py4j round-trips up to ~1 s — two threads racing the same key
+# waste one build, which setdefault-style insertion tolerates; holding the
+# lock across the build would serialize unrelated expressions).
+_LOCK = threading.Lock()
 
 
 def cached_expr(tag: str, builder: Callable[[], T], *key_parts: Any) -> T:
     """Return `builder()` memoized on (current applicationId, tag,
     *key_parts). `key_parts` must capture every parameter the built
-    expression depends on."""
+    expression depends on. Thread-safe (double-checked insert)."""
     sess = SparkSession.getActiveSession()
     app = sess.sparkContext.applicationId if sess is not None else None
     key = (app, tag, *key_parts)
-    val = _CACHE.get(key)
-    if val is None:
+    with _LOCK:
+        if key in _CACHE:
+            return _CACHE[key]
         for k in [k for k in _CACHE if k[0] != app]:
-            del _CACHE[k]
-        val = builder()
-        _CACHE[key] = val
-    return val
+            _CACHE.pop(k, None)
+    val = builder()
+    with _LOCK:
+        return _CACHE.setdefault(key, val)

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from commoncrawlscalatools_spark.cachehooks import own_caches
 from commoncrawlscalatools_spark.functions.text import md5_hash32
 
 
@@ -68,6 +69,33 @@ def reservoir_sample(
     )
 
 
+def quantile_bucket_bounds(
+    df: DataFrame, col: str, n_buckets: int, rel_err: float = 0.001
+) -> list[int]:
+    """Row-balanced split points for contiguous range-bucketing: the
+    (i/n)-quantiles of `col`, deduped (a quantile repeated means that much
+    mass sits on ONE value — those buckets collapse by construction).
+    Returns [] for an empty input or n_buckets == 1. One pass, O(n_buckets)
+    driver output. Any monotone split points are CORRECT for
+    offset+cumsum packing (they only steer balance), so the float
+    round-trip of long ids inside approxQuantile is harmless."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    if not probs:
+        return []
+    return sorted({int(x) for x in df.approxQuantile(col, probs, rel_err)})
+
+
+def range_bucket(col: Column, bounds: list[int]) -> Column:
+    """Bucket index of `col` under sorted split points: the count of
+    bounds <= col, as a flat codegen'd sum of indicator casts (no
+    interpreted HOF, no join). Monotone in `col`, so buckets are
+    contiguous ranges — the packing invariant."""
+    bucket = F.lit(0).cast("long")
+    for bd in bounds:
+        bucket = bucket + (col >= F.lit(bd)).cast("long")
+    return bucket
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -84,8 +112,14 @@ def pack_sequences(
 
     The global prefix-sum is the scale hazard: a bare
     `Window.orderBy(id)` collapses the corpus onto ONE partition. Instead:
-      1. bucket rows by id range (min/max from one 2-value agg — the only
-         driver exit, O(1));
+      1. bucket rows by id RANGE with bounds from `approxQuantile` — one
+         extra pass over the persisted 16 B/row projection, O(n_buckets)
+         driver output. Quantile bounds (not the r5 linear (id-lo)·n/span
+         split, VERDICT r5 watch #3) keep buckets row-balanced even when
+         post-dedup/post-sample ids cluster in a few dense ranges; the
+         assignment is a flat codegen'd sum of `id >= bound` indicators,
+         monotone in id, so buckets stay contiguous id ranges (the
+         correctness requirement for offset + within-bucket cumsum);
       2. aggregate per-bucket token sums (n_buckets rows), cumsum them in
          pandas on the driver (bounded by n_buckets, not corpus size) and
          broadcast-join the per-bucket offsets back;
@@ -95,7 +129,7 @@ def pack_sequences(
     Docs with zero tokens are dropped (they occupy no stream positions).
     """
     spark = df.sparkSession
-    # The packing protocol reads its input three times (id-range agg,
+    # The packing protocol reads its input three times (quantile bounds,
     # per-bucket sums, the final cumsum window). The input may be a whole
     # upstream pipeline (plans/training.py) — persist the narrow
     # (id, tok) projection (16 B/row) so upstream runs ONCE, not 3×.
@@ -108,16 +142,18 @@ def pack_sequences(
         .persist()
     )
 
-    lo, hi = base.agg(F.min("_id"), F.max("_id")).first()
-    if lo is None:
-        return spark.range(0).select(
-            F.col("id").alias("chunk_id"),
-            F.col("id").alias("doc_id"),
-            F.col("id").alias("n_tokens"),
-        )
-    span = hi - lo + 1
-    bucket = ((F.col("_id") - lo) * n_buckets / span).cast("long")
-    b = base.withColumn("_b", bucket)
+    bounds = quantile_bucket_bounds(base, "_id", n_buckets)
+    if not bounds:
+        # n_buckets > 1 + no quantiles ⇒ empty input; n_buckets == 1
+        # falls through to the single-bucket expression below.
+        if n_buckets > 1 or base.isEmpty():
+            base.unpersist()
+            return spark.range(0).select(
+                F.col("id").alias("chunk_id"),
+                F.col("id").alias("doc_id"),
+                F.col("id").alias("n_tokens"),
+            )
+    b = base.withColumn("_b", range_bucket(F.col("_id"), bounds))
 
     sums = (
         b.groupBy("_b").agg(F.sum("_tok").alias("_s")).orderBy("_b").toPandas()
@@ -145,7 +181,7 @@ def pack_sequences(
             F.floor(F.col("_start") / budget), F.floor((F.col("_end") - 1) / budget)
         )
     ).alias("chunk_id")
-    return cum.select("_id", "_tok", "_start", "_end", chunk).select(
+    out = cum.select("_id", "_tok", "_start", "_end", chunk).select(
         F.col("chunk_id").cast("long"),
         F.col("_id").alias("doc_id"),
         (
@@ -155,3 +191,4 @@ def pack_sequences(
         .cast("long")
         .alias("n_tokens"),
     )
+    return own_caches(out, cached=(base,))

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from commoncrawlscalatools_spark.cachehooks import own_caches
 from commoncrawlscalatools_spark.functions import text as TX
 from commoncrawlscalatools_spark.operators import dedup as DD
 from commoncrawlscalatools_spark.operators import relevance as RV
@@ -69,10 +70,14 @@ def create_corpus(
         shingled, text_col, id_col, relevance_col="relevance",
         ngram=ngram, threshold=threshold, num_perm=num_perm, bands=bands,
         max_bucket=max_bucket,
-    ).select(id_col)
-    kept = shingled.join(survivors, id_col, "left_semi").unionByName(short)
+    )
+    kept = shingled.join(
+        survivors.select(id_col), id_col, "left_semi"
+    ).unionByName(short)
     tld = F.col(tld_col) if tld_col else F.lit("unknown")
-    return kept.select(
+    # adopt minhash_dedup's internal caches (shingle/banded tables) so they
+    # live until the composed manifest is consumed, then release
+    return own_caches(kept.select(
         F.col(id_col),
         F.col("relevance"),
         F.col("__n_sh").alias("n_shingles"),
@@ -81,4 +86,4 @@ def create_corpus(
         F.concat(tld, F.lit("-"), F.md5(F.col(text_col)), F.lit(".txt")).alias(
             "filename"
         ),
-    )
+    ), adopt_from=(survivors,))

@@ -123,6 +123,17 @@ class CrawlConfig:
     # `seen` opens one parquet path per crawl round, so scan planning and
     # resume latency grow linearly with crawl age. None disables.
     compact_every: int | None = 16
+    # DETERMINISM SEAM (ADVICE r5 #4): the round's documents are written
+    # from a persist()ed DataFrame on a pool thread while the feedback
+    # chain reads the same cache — on cached-block LOSS Spark silently
+    # recomputes fetch_and_extract. That is safe iff the fetch stage is
+    # deterministic (the synthetic fetcher is, byte-for-byte). Anyone
+    # wiring a non-deterministic fetcher (e.g. live http_fetch_polite)
+    # MUST set this False: the engine then pins the round's documents with
+    # an eager localCheckpoint, so a lost block FAILS the round (lineage
+    # truncated) instead of letting the written table and the feedback
+    # chain diverge.
+    fetch_deterministic: bool = True
 
 
 class CrawlEngine:
@@ -263,6 +274,14 @@ class CrawlEngine:
         # its future joins at the side-commit barrier before the frontier
         # marker publishes.
         docs.count()
+        if not cfg.fetch_deterministic:
+            # Non-deterministic fetch seam: re-pin the materialized round
+            # from the block cache onto truncated-lineage checkpoint blocks
+            # (copy is cache→cache, one pass over a budget-bounded round).
+            # Observation metrics already fired on the count above.
+            pinned = docs.localCheckpoint(eager=True)
+            docs.unpersist()
+            docs = pinned
         dvals = obs_docs.get
         n_docs = int(dvals["n_docs"] or 0)
         n_spans = int(dvals["n_spans"] or 0)

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from commoncrawlscalatools_spark.cachehooks import own_caches
 from commoncrawlscalatools_spark.functions import pii as PII
 from commoncrawlscalatools_spark.functions import text as TX
 from commoncrawlscalatools_spark.functions import urls as U
@@ -874,7 +875,8 @@ def _jaccard_oracle(threshold: float, max_df: int) -> str:
 def ngram_jaccard_pairs(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     sh = DD.with_shingles(d, "text", "doc_id", 3)
-    return DD.jaccard_pairs(sh, "shingles", "doc_id", threshold=0.2, max_df=1000)
+    out = DD.jaccard_pairs(sh, "shingles", "doc_id", threshold=0.2, max_df=1000)
+    return own_caches(out, adopt_from=(sh,))
 
 
 def _dup_span_cte(n: int, min_docs: int) -> str:
@@ -1029,7 +1031,8 @@ def minhash_dedup_pairs(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     sh = DD.with_shingles(d, "text", "doc_id", 3)
     cands = DD.minhash_candidates(sh, "shingles", "doc_id", 64, 16, max_bucket=1_000_000)
-    return DD.jaccard_for_pairs(cands, sh, "doc_id", threshold=0.5)
+    out = DD.jaccard_for_pairs(cands, sh, "doc_id", threshold=0.5)
+    return own_caches(out, adopt_from=(sh, cands))
 
 
 def _simhash_half_sql(src: str, nbits: int) -> str:
@@ -1586,10 +1589,13 @@ def minhash_dedup_survivors(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     # max_bucket huge here because the oracle is uncapped — explicit so
     # Spark/oracle parity holds at any data scale (production default: 1000)
-    return DD.minhash_dedup(
+    surv = DD.minhash_dedup(
         d, "text", "doc_id", relevance_col="n_chars", ngram=3, threshold=0.5,
         max_bucket=1_000_000,
-    ).select("doc_id")
+    )
+    # re-own: chaining .select() directly would drop `surv` (and fire its
+    # cache-release finalizer) before the caller's action
+    return own_caches(surv.select("doc_id"), adopt_from=(surv,))
 
 
 def _minhash_cc_label_ctes(
@@ -1634,7 +1640,8 @@ def minhash_cc_components(spark, sf_dir):
         sh, "shingles", "doc_id", 64, 16, max_bucket=1_000_000
     )
     verified = DD.jaccard_for_pairs(cands, sh, "doc_id", threshold=0.5)
-    return DD.connected_components(verified, "id_a", "id_b")
+    out = DD.connected_components(verified, "id_a", "id_b")
+    return own_caches(out, adopt_from=(sh, cands))
 
 
 def _minhash_cc_survivors_oracle(
@@ -1665,10 +1672,11 @@ def minhash_dedup_cc_survivors(spark, sf_dir):
     smallest id) per connected component — vs minhash_dedup_survivors'
     per-edge dominance, which can keep >1 doc of a duplicate chain."""
     d = t(spark, sf_dir, "documents")
-    return DD.minhash_dedup_cc(
+    surv = DD.minhash_dedup_cc(
         d, "text", "doc_id", relevance_col="n_chars", ngram=3, threshold=0.5,
         max_bucket=1_000_000,
-    ).select("doc_id")
+    )
+    return own_caches(surv.select("doc_id"), adopt_from=(surv,))
 
 
 @q(
