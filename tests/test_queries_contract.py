@@ -100,6 +100,15 @@ SUBSET = [
     # r5: embedding-space transitive dedup clusters (cap yield — CC is
     # double-gated in the minhash family)
     "embedding_cc_components",
+    # r6: the four reference-job twins (gated; checked here for fast CI)
+    # + the four redundant anchors that yielded their cap slots
+    # (value-checked here instead — see the r6 yield-list notes)
+    "classifier_statistics",
+    "classified_docs_report",
+    "content_length_table",
+    "evaluate_topic_filter_stats",
+    "lang_id_counts",
+    "stopword_shingle_counts",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()

@@ -54,6 +54,12 @@ def main():
             "content_length",
             F.md5(F.col("content")).alias("content_md5"),
             "warc_filename",
+            # raw content: the filter-evaluation oracle
+            # (evaluate_topic_filter_stats) recomputes stream/topic filter
+            # stats from the golden text in DuckDB; content_md5 above plus
+            # the independent raw-byte parser in tests/test_wet_gz.py pin
+            # that this column IS the parsed record content
+            "content",
         )
         .orderBy("fixture", "record_pos")
         .toPandas()
