@@ -109,6 +109,7 @@ SUBSET = [
     "evaluate_topic_filter_stats",
     "lang_id_counts",
     "stopword_shingle_counts",
+    "random_wetpaths_sample",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
