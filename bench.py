@@ -79,6 +79,10 @@ HEADLINE = [
     "pack_sequences_chunks",
     "lm_perplexity_scores",
     "training_data_pipeline",
+    # r6 reference-job twins (classifier over the report store; the
+    # composed filter-evaluation job over the WET fixture archives)
+    "classifier_statistics",
+    "evaluate_topic_filter_stats",
 ]
 
 
