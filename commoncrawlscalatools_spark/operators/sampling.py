@@ -69,6 +69,59 @@ def reservoir_sample(
     )
 
 
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    tokens_col: Column,
+    weights: dict[str, float],
+    target_tokens: int,
+) -> DataFrame:
+    """Token-budget corpus mixing (the LLaMA/GPT data-recipe stage): given
+    mixture weights per stratum and a total token budget, compute each
+    stratum's token target, its repetition factor against the tokens
+    actually available, and a per-document integer repeat count —
+    floor(factor) full epochs plus one more iff the document's
+    deterministic per-mille draw falls under the fractional part. Strata
+    absent from `weights` get factor 0 (dropped). No reference
+    counterpart — LLM-pipeline extension family.
+
+    In expectation each stratum contributes target_tokens·wₛ/Σw tokens;
+    the draw is the same md5 hash-draw as stratified_sample, so the plan
+    is byte-reproducible across engines, re-runs, and re-partitioning.
+
+    Scale shape: ONE aggregate to the O(#strata) availability table,
+    broadcast-joined back; the per-doc decision is a narrow expression.
+    No window, no corpus-sized shuffle — at 100 TB this is a metadata
+    pass over token counts."""
+    total_w = sum(weights.values()) or 1.0
+    avail = df.groupBy(strata_col).agg(
+        F.sum(tokens_col.cast("long")).alias("__avail")
+    )
+    target = F.lit(0.0)
+    for stratum, wt in sorted(weights.items()):
+        target = F.when(
+            F.col(strata_col) == stratum,
+            F.lit(float(target_tokens) * wt / total_w),
+        ).otherwise(target)
+    factor = F.when(
+        F.col("__avail") > 0, target / F.col("__avail")
+    ).otherwise(F.lit(0.0))
+    frac = factor - F.floor(factor)
+    extra = (_strat_hash(strata_col, id_col) < frac * 1000).cast("long")
+    return (
+        df.select(F.col(id_col), F.col(strata_col), tokens_col.cast("long").alias("n_tokens"))
+        .join(F.broadcast(avail), strata_col)
+        .select(
+            id_col,
+            strata_col,
+            "n_tokens",
+            F.round(factor, 6).alias("mix_factor"),
+            (F.floor(factor).cast("long") + extra).alias("n_repeats"),
+        )
+    )
+
+
 def quantile_bucket_bounds(
     df: DataFrame, col: str, n_buckets: int, rel_err: float = 0.001
 ) -> list[int]:

@@ -3632,6 +3632,125 @@ def lm_perplexity_scores(spark, sf_dir):
 #     write-time-partitioned IVF path (ann_ivf_topk_partitioned, now
 #     value-oracled) gates — a distinct PHYSICAL plan (Voronoi partition
 #     pruning) beats a third scorer variant as a driver anchor.
+# ----- quality classifier (frozen LR over hashed bag-of-words) --------------
+
+_QLR_DIM = 1 << 12
+
+
+def _qlr_weights_path() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests", "fixtures", "quality_lr_weights.parquet",
+    )
+
+
+def _quality_classifier_oracle() -> str:
+    path = _qlr_weights_path()
+    feat = f"(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % {_QLR_DIM})"
+    return f"""
+    WITH w AS (SELECT feat, w FROM read_parquet('{path}') WHERE feat >= 0),
+    b AS (SELECT w AS bias FROM read_parquet('{path}') WHERE feat = -1),
+    tok AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS t
+      FROM documents),
+    f AS (
+      SELECT doc_id, {feat} AS feat, count(*) AS c FROM tok GROUP BY 1, 2),
+    n AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS nt FROM f GROUP BY 1),
+    m AS (
+      SELECT f.doc_id, sum((f.c / n.nt) * w.w) AS mrg
+      FROM f JOIN n USING (doc_id) JOIN w USING (feat)
+      GROUP BY 1)
+    SELECT d.doc_id,
+           round(1.0e0 / (1.0e0 + exp(-(coalesce(m.mrg, 0.0e0)
+                                        + (SELECT bias FROM b)))), 6)
+             AS quality_score
+    FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    """
+
+
+@q("quality_classifier_scores", _quality_classifier_oracle())
+def quality_classifier_scores(spark, sf_dir):
+    """Model-based quality scoring (operators/classifier.py): the GPT-3
+    pipeline's quality-filter stage — logistic regression over hashed
+    bag-of-words tf, positive class = a curated seed profile — scoring
+    every document with a FROZEN trained weight table
+    (tools/make_quality_weights.py trains it distributed: two shuffles
+    per GD iteration, O(dim) driver state; train accuracy 0.986 on the
+    seed split). The gated query is pure inference — hash features,
+    broadcast-join 4k weights, groupBy(doc) margin, sigmoid — the
+    ann_ivf_topk_trained gating pattern: learned state frozen, inference
+    semantics value-verified against an engine-independent oracle.
+    No reference counterpart — LLM-pipeline extension family."""
+    import pandas as pd
+
+    d = t(spark, sf_dir, "documents")
+    w = pd.read_parquet(_qlr_weights_path())
+    bias = float(w.loc[w.feat == -1, "w"].iloc[0])
+    wdf = spark.createDataFrame(w[w.feat >= 0])
+    from commoncrawlscalatools_spark.operators.classifier import score_with_weights
+
+    return score_with_weights(d, wdf, bias, "text", "doc_id", dim=_QLR_DIM)
+
+
+# ----- token-budget corpus mixing --------------------------------------------
+
+_MIX_WEIGHTS = {"en": 0.5, "fr": 0.2, "es": 0.2, "de": 0.1}
+_MIX_TARGET_TOKENS = 120_000
+
+
+def _corpus_mix_oracle() -> str:
+    total_w = sum(_MIX_WEIGHTS.values())
+    cases = " ".join(
+        f"WHEN '{s}' THEN {float(_MIX_TARGET_TOKENS) * wt / total_w!r}"
+        for s, wt in sorted(_MIX_WEIGHTS.items())
+    )
+    draw = (
+        "CAST(('0x' || substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) "
+        "AS BIGINT) % 1000"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))
+               AS n_tokens
+      FROM documents),
+    a AS (SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS avail FROM d GROUP BY 1),
+    j AS (
+      SELECT d.doc_id, d.lang, d.n_tokens,
+             CASE WHEN a.avail > 0
+                  THEN (CASE d.lang {cases} ELSE 0.0e0 END) / a.avail
+                  ELSE 0.0e0 END AS factor
+      FROM d JOIN a USING (lang))
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(factor, 6) AS mix_factor,
+           CAST(floor(factor) AS BIGINT)
+             + CASE WHEN {draw} < (factor - floor(factor)) * 1000
+                    THEN 1 ELSE 0 END AS n_repeats
+    FROM j
+    """
+
+
+@q("corpus_mix_plan", _corpus_mix_oracle())
+def corpus_mix_plan(spark, sf_dir):
+    """Token-budget corpus mixing (operators/sampling.mixture_plan — the
+    LLaMA-style data-recipe stage): per-language mixture weights + a total
+    token budget → per-document integer repeat counts (full epochs +
+    deterministic fractional hash-draw), in expectation hitting each
+    stratum's token target. One O(#strata) aggregate broadcast back; the
+    per-doc decision is a narrow expression — a metadata pass at 100 TB.
+    No reference counterpart — LLM-pipeline extension family."""
+    d = t(spark, sf_dir, "documents")
+    return SP.mixture_plan(
+        d,
+        "lang",
+        "doc_id",
+        TX.token_count_ws(F.col("text")),
+        _MIX_WEIGHTS,
+        _MIX_TARGET_TOKENS,
+    )
+
+
 _YIELD_FIRST_UNDER_CAP = [
     #   * suppliers_of_large_parts — its J4 semi-join shape is
     #     double-anchored by the short-doc rejoin inside the gated
@@ -3722,6 +3841,15 @@ _YIELD_FIRST_UNDER_CAP = [
     #     count are both inside the gated evaluate_topic_filter_stats
     #     (same sample predicate, same parsed relation).
     "random_wetpaths_sample",
+    #   * windowed_event_agg — yields so the trained quality classifier
+    #     (quality_classifier_scores: genuinely new learned-model
+    #     semantics) gates; the §2.10 event-time window shape stays gated
+    #     via sessionize_events and CI-value-checked here.
+    "windowed_event_agg",
+    #   * corpus_mix_plan — token-budget mixing; yields immediately
+    #     (CI-value-checked): its hash-draw is stratified_sample's (CI)
+    #     and its broadcast-aggregate join shape is gated many ways.
+    "corpus_mix_plan",
 ]
 
 

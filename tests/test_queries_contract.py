@@ -110,6 +110,11 @@ SUBSET = [
     "lang_id_counts",
     "stopword_shingle_counts",
     "random_wetpaths_sample",
+    # r6 late adds: frozen-LR quality scoring (gated; fast-CI here too)
+    # and token-budget mixing (yield, CI-checked); windowed_event_agg —
+    # the anchor that yielded its slot — is already in the list above
+    "quality_classifier_scores",
+    "corpus_mix_plan",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()

@@ -252,3 +252,55 @@ def test_pack_sequences_property_clustered_ids_vs_reference(spark):
         assert got == sorted(ref)
 
     run()
+
+
+def test_mixture_plan_hits_token_targets_in_expectation(spark):
+    from commoncrawlscalatools_spark.operators.sampling import mixture_plan
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(600),
+            "lang": [["en", "es", "zh"][i % 3] for i in range(600)],
+            "tok": [40 + (i % 7) for i in range(600)],
+        }
+    )
+    d = spark.createDataFrame(pdf)
+    weights = {"en": 0.75, "es": 0.25}  # zh absent -> dropped
+    target = 30_000
+    plan = mixture_plan(d, "lang", "doc_id", F.col("tok"), weights, target)
+    rows = plan.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["lang"], 0)
+        got[r["lang"]] += r["n_repeats"] * r["n_tokens"]
+    # zh has weight 0: factor 0, zero repeats
+    assert got.get("zh", 0) == 0
+    # en/es within 12% of their targets (hash-draw expectation)
+    assert abs(got["en"] - 22_500) / 22_500 < 0.12, got
+    assert abs(got["es"] - 7_500) / 7_500 < 0.12, got
+    # factor > 1 strata carry full epochs: en available ~8.6k tokens,
+    # target 22.5k -> every en doc repeats at least twice
+    en_min = min(r["n_repeats"] for r in rows if r["lang"] == "en")
+    assert en_min >= 2
+
+
+def test_mixture_plan_deterministic_under_partitioning(spark):
+    from commoncrawlscalatools_spark.operators.sampling import mixture_plan
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(200),
+            "lang": [["en", "es"][i % 2] for i in range(200)],
+            "tok": [10 + (i % 5) for i in range(200)],
+        }
+    )
+    d = spark.createDataFrame(pdf)
+    a = sorted(
+        map(tuple, mixture_plan(d, "lang", "doc_id", F.col("tok"),
+                                {"en": 0.6, "es": 0.4}, 5_000).collect())
+    )
+    b = sorted(
+        map(tuple, mixture_plan(d.repartition(9), "lang", "doc_id", F.col("tok"),
+                                {"en": 0.6, "es": 0.4}, 5_000).collect())
+    )
+    assert a == b
