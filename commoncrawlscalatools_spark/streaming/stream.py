@@ -184,3 +184,50 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+
+
+def dedup_docs_streaming(
+    spark: SparkSession,
+    src: str,
+    schema: str,
+    name: str = "dedup_stream",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup over an incoming document stream: first
+    arrival per content hash survives; later identical payloads are
+    dropped. The incremental analog of `dedup.exact_dedup` (one hash
+    aggregate in batch) for continuous ingestion, where a batch re-scan
+    per micro-batch is impossible.
+
+    Scale note (100 TB/endless crawl): `dropDuplicatesWithinWatermark`
+    keys state by the 32-char md5 digest and EVICTS keys older than the
+    event-time watermark, so state is bounded by the watermark horizon ×
+    arrival rate — a plain dropDuplicates would grow state forever. The
+    cross-horizon guarantee stays with the batch operator / the URL-seen
+    table; this stage kills the burst duplicates (mirrors, retries,
+    refetches) before they ever hit storage. Batch-twin equivalence is
+    pinned in tests/test_streaming.py."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = (
+        stream.withColumn("content_hash", F.md5(F.col(text_col)))
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

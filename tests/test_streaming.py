@@ -99,3 +99,62 @@ def test_stateful_streaming_sessionize_matches_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert stream_sessions == batch_sessions
+
+
+def test_streaming_exact_dedup_matches_batch_twin(spark, tmp_path):
+    """dedup_docs_streaming keeps exactly one survivor per content hash
+    (within the watermark horizon) — same survivor-set cardinality and
+    hash set as batch exact_dedup over the union of micro-batches."""
+    import pandas as pd
+
+    from commoncrawlscalatools_spark.operators.dedup import exact_dedup
+    from commoncrawlscalatools_spark.streaming.stream import dedup_docs_streaming
+
+    src = str(tmp_path / "docs_stream")
+    base = pd.Timestamp("2026-01-01 10:00:00")
+    batches = [
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["alpha", "beta", "alpha"],
+                "ts": [base, base, base + pd.Timedelta(minutes=1)],
+            }
+        ),
+        pd.DataFrame(
+            {
+                "doc_id": [4, 5, 6],
+                "text": ["beta", "gamma", "alpha"],
+                "ts": [
+                    base + pd.Timedelta(minutes=2),
+                    base + pd.Timedelta(minutes=3),
+                    base + pd.Timedelta(minutes=4),
+                ],
+            }
+        ),
+    ]
+    for i, pdf in enumerate(batches):
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            f"{src}/b{i}", mode="overwrite"
+        )
+    # flatten the two batch dirs into one source dir of parquet files
+    import glob
+    import shutil
+
+    for i in range(2):
+        for j, f in enumerate(sorted(glob.glob(f"{src}/b{i}/*.parquet"))):
+            shutil.copy(f, f"{src}/{i:02d}_{j}.parquet")
+        shutil.rmtree(f"{src}/b{i}")
+
+    got = dedup_docs_streaming(
+        spark, src, "doc_id long, text string, ts timestamp",
+        name="dedup_stream_t",
+    )
+    rows = got.select("content_hash", "text").collect()
+    hashes = sorted(r["content_hash"] for r in rows)
+    assert len(rows) == 3  # alpha, beta, gamma — one survivor each
+    batch_all = spark.createDataFrame(pd.concat(batches))
+    batch_surv = exact_dedup(batch_all, "text", "doc_id")
+    batch_hashes = sorted(
+        r["h"] for r in batch_surv.select(F.md5("text").alias("h")).collect()
+    )
+    assert hashes == batch_hashes
