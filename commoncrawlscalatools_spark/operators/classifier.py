@@ -48,17 +48,20 @@ def hashed_features(
 ) -> DataFrame:
     """(id, feat, x) rows: term frequency of each hashed token, normalized
     by document token count (so short and long documents live on the same
-    scale). One explode + one hash aggregate; docs with zero tokens drop
-    out (they carry no signal either way)."""
+    scale). The document's token count is computed IN-ROW before the
+    explode and carried through it, so normalization costs no second
+    aggregate and no self-join — the whole projection is one explode +
+    ONE hash aggregate. Docs with zero tokens drop out (they carry no
+    signal either way)."""
     toks = df.select(
-        F.col(id_col), F.explode(ws_tokens(F.col(text_col))).alias("__t")
+        F.col(id_col),
+        F.size(ws_tokens(F.col(text_col))).alias("__n"),
+        F.explode(ws_tokens(F.col(text_col))).alias("__t"),
     )
-    counts = toks.groupBy(
-        id_col, (md5_hash32(F.col("__t")) % dim).alias("feat")
-    ).agg(F.count("*").alias("__c"))
-    totals = counts.groupBy(id_col).agg(F.sum("__c").alias("__n"))
-    return counts.join(totals, id_col).select(
-        id_col, "feat", (F.col("__c") / F.col("__n")).alias("x")
+    return (
+        toks.groupBy(id_col, "__n", (md5_hash32(F.col("__t")) % dim).alias("feat"))
+        .agg(F.count("*").alias("__c"))
+        .select(id_col, "feat", (F.col("__c") / F.col("__n")).alias("x"))
     )
 
 
