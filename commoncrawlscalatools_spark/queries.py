@@ -3632,6 +3632,56 @@ def lm_perplexity_scores(spark, sf_dir):
 #     write-time-partitioned IVF path (ann_ivf_topk_partitioned, now
 #     value-oracled) gates — a distinct PHYSICAL plan (Voronoi partition
 #     pruning) beats a third scorer variant as a driver anchor.
+def _minhash_recall_oracle() -> str:
+    truth = _jaccard_oracle(0.5, 1_000_000_000)
+    cand = _minhash_pairs_oracle(64, 16, 0.5)
+    return f"""
+    WITH truth AS (SELECT id_a, id_b FROM ({truth}) tq),
+    verified AS (SELECT id_a, id_b FROM ({cand}) mq)
+    SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true_pairs,
+           CAST((SELECT count(*) FROM verified) AS BIGINT) AS n_verified_pairs,
+           round((SELECT count(*) FROM verified) * 1.0e0
+                 / (CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1
+                         ELSE (SELECT count(*) FROM truth) END), 6) AS recall
+    """
+
+
+@q("minhash_recall_report", _minhash_recall_oracle())
+def minhash_recall_report(spark, sf_dir):
+    """LSH quality measurement (the tuning loop for bands/perms that any
+    production near-dup pipeline runs before trusting its index): exact
+    all-pairs Jaccard ≥ 0.5 as ground truth vs the banded-minhash
+    verified pairs, reported as one (n_true, n_verified, recall) row.
+    Verified pairs are exact-Jaccard-checked, so precision is 1.0 by
+    construction — recall is the banding knob's only loss surface.
+    DIAGNOSTIC job: the ground-truth side is an uncapped all-pairs
+    shingle join (quadratic in hot-shingle frequency), so at corpus scale
+    run it over a deterministic SAMPLE (stratified_sample), never the
+    full corpus; the minhash side under test stays the capped production
+    config. No reference counterpart — LLM-pipeline extension family."""
+    d = t(spark, sf_dir, "documents")
+    sh = DD.with_shingles(d, "text", "doc_id", 3)
+    truth = DD.jaccard_pairs(sh, "shingles", "doc_id", threshold=0.5)
+    cands = DD.minhash_candidates(
+        sh, "shingles", "doc_id", 64, 16, max_bucket=1_000_000
+    )
+    verified = DD.jaccard_for_pairs(cands, sh, "doc_id", threshold=0.5)
+    n_true = truth.agg(F.count("*").alias("n_true_pairs"))
+    n_ver = verified.agg(F.count("*").alias("n_verified_pairs"))
+    out = n_true.crossJoin(n_ver).select(
+        "n_true_pairs",
+        "n_verified_pairs",
+        F.round(
+            F.col("n_verified_pairs")
+            / F.when(F.col("n_true_pairs") == 0, 1).otherwise(
+                F.col("n_true_pairs")
+            ),
+            6,
+        ).alias("recall"),
+    )
+    return own_caches(out, adopt_from=(sh, truth, cands))
+
+
 # ----- quality classifier (frozen LR over hashed bag-of-words) --------------
 
 _QLR_DIM = 1 << 12
@@ -3850,6 +3900,10 @@ _YIELD_FIRST_UNDER_CAP = [
     #     (CI-value-checked): its hash-draw is stratified_sample's (CI)
     #     and its broadcast-aggregate join shape is gated many ways.
     "corpus_mix_plan",
+    #   * minhash_recall_report — LSH-tuning diagnostic; yields
+    #     immediately (CI-value-checked): both of its legs are gated
+    #     (ngram_jaccard_pairs truth shape, minhash CC/corpus family).
+    "minhash_recall_report",
 ]
 
 

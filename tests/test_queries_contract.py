@@ -115,6 +115,7 @@ SUBSET = [
     # the anchor that yielded its slot — is already in the list above
     "quality_classifier_scores",
     "corpus_mix_plan",
+    "minhash_recall_report",
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
