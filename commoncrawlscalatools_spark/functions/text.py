@@ -197,19 +197,28 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    toks = ws_tokens(F.lower(text))
+def lang_scores_from_tokens(toks_lower: Column) -> dict[str, Column]:
+    """Marker-hit counts per language over an already-lowered token array
+    (callers that tokenize once should prefer this over lang_scores)."""
     out = {}
     for lang, markers in LANG_MARKERS.items():
         marr = F.lit(markers)
-        out[lang] = F.size(F.filter(toks, lambda t: F.array_contains(marr, t)))
+        out[lang] = F.size(
+            F.filter(toks_lower, lambda t: F.array_contains(marr, t))
+        )
     return out
 
 
-def lang_id(text: Column) -> Column:
+def lang_scores(text: Column) -> dict[str, Column]:
+    return lang_scores_from_tokens(ws_tokens(F.lower(text)))
+
+
+def lang_id_from_scores(scores: dict[str, Column]) -> Column:
     """Argmax language with deterministic tie-break (alphabetical language
-    code order; 'und' when no marker matches)."""
-    scores = lang_scores(text)
+    code order; 'und' when no marker matches). Callers should pass
+    MATERIALIZED score columns — each score is referenced several times in
+    the argmax CASE chain, and a non-materialized score re-runs its token
+    filter per reference."""
     langs = sorted(scores)
     best = scores[langs[0]]
     for lg in langs[1:]:
@@ -218,6 +227,10 @@ def lang_id(text: Column) -> Column:
     for lg in reversed(langs):
         expr = F.when((scores[lg] > 0) & (scores[lg] == best), F.lit(lg)).otherwise(expr)
     return expr
+
+
+def lang_id(text: Column) -> Column:
+    return lang_id_from_scores(lang_scores(text))
 
 
 def doc_fingerprint(text: Column) -> Column:
@@ -299,6 +312,153 @@ def _char_cover_frac(chars_col: str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _gram_fold(sg: Column) -> Column:
+    """(top_chars, dup_chars) from a SORTED gram array in ONE fold.
+
+    Equal grams are adjacent after array_sort, so a single left-to-right
+    scan tracks the open run and folds each closed run into
+      * the best (count, len, gram) struct — struct comparison gives the
+        identical tie-break to a grouped max(struct(c, l, g)): max count,
+        then longest, then lexicographically largest gram;
+      * the duplicated-chars sum Σ count·len over runs with count > 1.
+
+    The fold references `sg` EXACTLY ONCE, deliberately: Catalyst pushes
+    filters through deterministic Projects by substituting alias trees
+    into the predicate, and any formulation whose per-element lambda
+    re-reads the gram array (e.g. index lookups against run starts) goes
+    quadratic per row once the array alias is inlined — measured as a
+    >80× blowup when a downstream `.where(pass_repetition)` pushed
+    through the chain. A fold's lambda touches only (acc, element), so
+    worst-case inlining costs one linear re-evaluation."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("bc"),
+        F.lit(0).alias("bl"),
+        F.lit("").alias("bg"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def _close(acc):
+        """Fold the open run into (bc, bl, bg, dup); no-op when run == 0."""
+        cand = F.struct(
+            acc["run"].alias("c"),
+            F.length(acc["prev"]).alias("l"),
+            acc["prev"].alias("g"),
+        )
+        cur = F.struct(
+            acc["bc"].alias("c"), acc["bl"].alias("l"), acc["bg"].alias("g")
+        )
+        better = (acc["run"] > 0) & (cand > cur)
+        return (
+            F.when(better, acc["run"]).otherwise(acc["bc"]),
+            F.when(better, F.length(acc["prev"])).otherwise(acc["bl"]),
+            F.when(better, acc["prev"]).otherwise(acc["bg"]),
+            acc["dup"]
+            + F.when(
+                acc["run"] > 1, acc["run"] * F.length(acc["prev"])
+            ).otherwise(F.lit(0)),
+        )
+
+    def merge(acc, g):
+        bc, bl, bg, dup = _close(acc)
+        return F.when(
+            (acc["run"] > 0) & (g == acc["prev"]),
+            F.struct(
+                acc["prev"].alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["bc"].alias("bc"),
+                acc["bl"].alias("bl"),
+                acc["bg"].alias("bg"),
+                acc["dup"].alias("dup"),
+            ),
+        ).otherwise(
+            F.struct(
+                g.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                bc.alias("bc"),
+                bl.alias("bl"),
+                bg.alias("bg"),
+                dup.alias("dup"),
+            )
+        )
+
+    def finish(acc):
+        bc, bl, bg, dup = _close(acc)
+        return F.struct(
+            F.when(bc > 0, bc * bl).alias("top_chars"),
+            dup.alias("dup_chars"),
+        )
+
+    return F.aggregate(sg, init, merge, finish)
+
+
+def _rep_chain(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    top_n: int,
+    dup_n: int,
+    extra_cols=None,
+    base_tmp=None,
+    tok_extra=None,
+):
+    """The shared single-scan projection chain behind repetition_scores /
+    quality_gates: tokenization, sorted n-gram run-length scan, and the
+    raw profile columns — all in-row, ZERO exchanges.
+      * extra_cols: {name: fn(text)} computed in the first projection and
+        carried through;
+      * base_tmp: {name: fn(text)} computed in the first projection,
+        visible to tok_extra, DROPPED after the second (e.g. a lowered
+        token array consumed by several counters);
+      * tok_extra: {name: Column} evaluated in the second projection
+        (may reference `__toks`, `__tc` and base_tmp columns) and carried
+        through.
+    quality_gates rides the same scan instead of re-scanning and
+    joining. Each intermediate is its own projection so the non-cheap
+    array expressions are materialized once per row (CollapseProject
+    keeps multi-referenced non-cheap aliases at a project boundary;
+    HOF lambdas would otherwise re-evaluate captured subexpressions).
+
+    Returns the profiled frame carrying
+    [id, __tc, n_tokens, raw dup fracs, __top_chars, __dup_chars] +
+    extra column names."""
+    from commoncrawlscalatools_spark.spread import spread
+
+    extra_cols = extra_cols or {}
+    tok_extra = tok_extra or {}
+    base_tmp = base_tmp or {}
+    text = F.col(text_col)
+    base = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col),
+        F.length(text).alias("__tc"),
+        ws_tokens(text).alias("__toks"),
+        *[c(text).alias(nm) for nm, c in extra_cols.items()],
+        *[c(text).alias(nm) for nm, c in base_tmp.items()],
+    )
+    toks = F.col("__toks")
+    extras = list(extra_cols) + list(tok_extra)
+    inrow = base.select(
+        id_col,
+        "__tc",
+        F.size(toks).alias("n_tokens"),
+        dup_token_frac(toks).alias("dup_token_frac"),
+        dup_token_char_frac(toks).alias("dup_token_char_frac"),
+        F.array_sort(_word_ngrams(toks, top_n)).alias("__sgt"),
+        F.array_sort(_word_ngrams(toks, dup_n)).alias("__sgd"),
+        *list(extra_cols),
+        *[c.alias(nm) for nm, c in tok_extra.items()],
+    )
+    keep = [id_col, "__tc", "n_tokens", "dup_token_frac", "dup_token_char_frac"]
+    profiled = inrow.select(
+        *keep,
+        _gram_fold(F.col("__sgt"))["top_chars"].alias("__top_chars"),
+        _gram_fold(F.col("__sgd"))["dup_chars"].alias("__dup_chars"),
+        *extras,
+    )
+    return profiled
+
+
 def repetition_scores(
     df: DataFrame,
     text_col: str = "text",
@@ -315,83 +475,21 @@ def repetition_scores(
       * dup_{dup_n}gram_char_frac — chars covered by ALL n-grams occurring
         more than once: sum(count * len(gram)) / len(text), capped at 1.
 
-    Scale shape: ONE tokenization pass builds both gram sizes, then ONE
-    kind-tagged explode + two-level aggregate keyed (id, kind, gram) →
-    (id) — both levels map-side-combinable — and ONE join back, instead
-    of an explode+agg+join per gram family; no window over the raw token
-    stream, no driver collect. At 100 TB this is the standard
-    distributed n-gram profile (the same shape public pipelines use)."""
-    base = df.select(
-        F.col(id_col),
-        F.length(F.col(text_col)).alias("__tc"),
-        ws_tokens(F.col(text_col)).alias("__toks"),
-    )
-    toks = F.col("__toks")
-    inrow = base.select(
+    Scale shape (r7): the gram counts are keyed by doc_id only, so they
+    never need a shuffle at all — sort each doc's gram array in-row and
+    scan adjacent runs (run count = gram count; max struct = the grouped
+    max; Σ over runs = the dup sum). ONE narrow projection chain, ZERO
+    exchanges, no join-back (the r6 shape — tagged explode + two
+    aggregates + join — shuffled every gram string twice and fell into
+    SortAggregate for the struct max). At 100 TB this is a pure map."""
+    profiled = _rep_chain(df, text_col, id_col, top_n, dup_n)
+    return profiled.select(
         id_col,
-        "__tc",
-        F.size(toks).alias("n_tokens"),
-        dup_token_frac(toks).alias("dup_token_frac"),
-        dup_token_char_frac(toks).alias("dup_token_char_frac"),
-        _word_ngrams(toks, top_n).alias("__gt"),
-        _word_ngrams(toks, dup_n).alias("__gd"),
-    )
-    grams = inrow.select(
-        id_col,
-        F.explode(
-            F.concat(
-                F.transform(
-                    "__gt",
-                    lambda g: F.struct(F.lit("t").alias("k"), g.alias("g")),
-                ),
-                F.transform(
-                    "__gd",
-                    lambda g: F.struct(F.lit("d").alias("k"), g.alias("g")),
-                ),
-            )
-        ).alias("kg"),
-    ).select(id_col, "kg.k", "kg.g")
-    stats = (
-        grams.groupBy(id_col, "k", "g")
-        .count()
-        .groupBy(id_col)
-        .agg(
-            F.max(
-                F.when(
-                    F.col("k") == "t",
-                    F.struct(
-                        F.col("count").alias("c"),
-                        F.length("g").alias("l"),
-                        F.col("g").alias("g"),
-                    ),
-                )
-            ).alias("t"),
-            F.sum(
-                F.when(
-                    (F.col("k") == "d") & (F.col("count") > 1),
-                    F.col("count") * F.length("g"),
-                )
-            ).alias("__dup_chars"),
-        )
-        .select(
-            id_col,
-            (F.col("t.c") * F.col("t.l")).alias("__top_chars"),
-            "__dup_chars",
-        )
-    )
-    return (
-        inrow.select(
-            id_col, "__tc", "n_tokens", "dup_token_frac", "dup_token_char_frac"
-        )
-        .join(stats, id_col, "left")
-        .select(
-            id_col,
-            "n_tokens",
-            F.round("dup_token_frac", 6).alias("dup_token_frac"),
-            F.round("dup_token_char_frac", 6).alias("dup_token_char_frac"),
-            _char_cover_frac("__top_chars").alias(f"top_{top_n}gram_char_frac"),
-            _char_cover_frac("__dup_chars").alias(f"dup_{dup_n}gram_char_frac"),
-        )
+        "n_tokens",
+        F.round("dup_token_frac", 6).alias("dup_token_frac"),
+        F.round("dup_token_char_frac", 6).alias("dup_token_char_frac"),
+        _char_cover_frac("__top_chars").alias(f"top_{top_n}gram_char_frac"),
+        _char_cover_frac("__dup_chars").alias(f"dup_{dup_n}gram_char_frac"),
     )
 
 
@@ -436,22 +534,35 @@ def quality_gates(
     how much (the reference's filter-stats side-output shape,
     StreamFilterStatsWriter.scala:12-68, applied to quality filtering).
 
-    Scale shape: every gate except repetition is in-row codegen'd column
-    arithmetic on one scan; the repetition fracs come from
-    repetition_scores' single tagged-explode aggregate, joined back on
-    the id — the only shuffle in the job."""
-    rep = repetition_scores(df, text_col, id_col)
-    text = F.col(text_col)
-    toks = ws_tokens(text)
-    inrow = df.select(
-        F.col(id_col),
-        mean_word_len(toks).alias("__mwl"),
-        alpha_ratio(text).alias("__alpha"),
-        stopword_hits(ws_tokens(F.lower(text))).alias("__sw"),
-        lang_id(text).alias("__lang"),
+    Scale shape (r7): ONE narrow projection chain, ZERO exchanges — the
+    repetition profile is computed in-row by _rep_chain (sorted-run scan)
+    and every other gate rides the same scan as tok_extra columns, so the
+    r6 shape's self-join (and its two exchanges) is gone entirely. The
+    language argmax runs over four MATERIALIZED marker-count columns —
+    the inline lang_id(text) expression re-tokenized the text per CASE
+    branch reference (~28 splits/row)."""
+    lt = F.col("__lt")
+    profiled = _rep_chain(
+        df,
+        text_col,
+        id_col,
+        2,
+        5,
+        extra_cols={"__alpha": alpha_ratio},
+        base_tmp={"__lt": lambda text: ws_tokens(F.lower(text))},
+        tok_extra={
+            "__mwl": mean_word_len(F.col("__toks")),
+            "__sw": stopword_hits(lt),
+            **{
+                f"__s_{lg}": sc
+                for lg, sc in lang_scores_from_tokens(lt).items()
+            },
+        },
     )
-    j = inrow.join(rep, id_col)
-    return j.select(
+    lang_expr = lang_id_from_scores(
+        {lg: F.col(f"__s_{lg}") for lg in LANG_MARKERS}
+    )
+    return profiled.select(
         id_col,
         "n_tokens",
         F.col("n_tokens").between(min_tokens, max_tokens).alias("pass_len"),
@@ -461,11 +572,11 @@ def quality_gates(
         (F.col("__alpha") >= min_alpha_frac).alias("pass_alpha"),
         (F.col("__sw") >= min_stopword_hits).alias("pass_stopwords"),
         (
-            (F.col("dup_token_frac") <= max_dup_token_frac)
-            & (F.col("top_2gram_char_frac") <= max_top_2gram_char_frac)
-            & (F.col("dup_5gram_char_frac") <= max_dup_5gram_char_frac)
+            (F.round("dup_token_frac", 6) <= max_dup_token_frac)
+            & (_char_cover_frac("__top_chars") <= max_top_2gram_char_frac)
+            & (_char_cover_frac("__dup_chars") <= max_dup_5gram_char_frac)
         ).alias("pass_repetition"),
-        (F.col("__lang") == lang).alias("pass_lang"),
+        (lang_expr == lang).alias("pass_lang"),
     ).select(
         "*",
         (

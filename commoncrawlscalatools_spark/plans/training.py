@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from commoncrawlscalatools_spark.cachehooks import own_caches
 from commoncrawlscalatools_spark.functions.pii import redact_pii
 from commoncrawlscalatools_spark.functions.text import (
     quality_gates,
@@ -56,7 +57,17 @@ def training_data_pipeline(
     (pass_len AND pass_repetition) keeps the stratified stage meaningful
     across languages; the full Gopher conjunction is the gated
     quality_gate_docs query's job."""
-    g = quality_gates(docs, text_col, id_col, **gate_params)
+    # Persist the (narrow: id + booleans) gate frame BEFORE filtering on
+    # it: quality_gates is a zero-shuffle projection chain, and Catalyst
+    # pushes a filter on its computed booleans through every projection
+    # down to the SCAN side of the parallelism-spreading exchange — the
+    # whole gate evaluation would then run inside the filter on the
+    # unsplit single-file scan partition (measured 2× the pipeline wall
+    # at sf1.0). The cache is a hard pushdown barrier: the chain runs
+    # once, post-spread, full-width; the filter reads cached booleans.
+    # At cluster scale this is the written gate-verdict table every
+    # pipeline materializes anyway.
+    g = quality_gates(docs, text_col, id_col, **gate_params).persist()
     keep = g.where(F.col("pass_len") & F.col("pass_repetition")).select(id_col)
     base = docs.join(keep, id_col)
 
@@ -80,10 +91,11 @@ def training_data_pipeline(
     sampled = stratified_sample(
         redacted, lang_col, id_col, permille, default_permille
     )
-    return pack_sequences(
+    packed = pack_sequences(
         sampled.select(id_col, token_count_ws(F.col(text_col)).alias("__tok")),
         id_col,
         F.col("__tok"),
         budget=budget,
         n_buckets=n_buckets,
     )
+    return own_caches(packed, cached=(g,))
