@@ -158,7 +158,7 @@ def minhash_candidates(
     id_col: str = "doc_id",
     num_perm: int = NUM_PERM,
     bands: int = 16,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band.
 
@@ -167,6 +167,10 @@ def minhash_candidates(
     (createCorpus.scala:395-410). `max_bucket` drops degenerate buckets
     (boilerplate) to bound the join fan-out — at web scale a single hot
     bucket would otherwise produce O(n²) pairs on one task.
+    `max_bucket=None` disables the cap AND its machinery (exact mode —
+    callers whose oracle is uncapped used to pass a sentinel 1_000_000 and
+    still paid the bucket-size aggregate + semi-join for a filter that
+    never fired).
     """
     rows = num_perm // bands
     # Input should be pre-spread + persisted (see with_shingles).
@@ -193,16 +197,17 @@ def minhash_candidates(
     banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("band")).select(
         id_col, "band.band_id", "band.band_key"
     )
-    banded_c = banded.persist()
-    # Cap pathological buckets before the self-join.
-    bucket_sizes = banded_c.groupBy("band_id", "band_key").count()
-    banded = (
-        banded_c.join(
-            bucket_sizes.filter(F.col("count") <= max_bucket),
-            ["band_id", "band_key"],
-            "left_semi",
+    banded_c = banded = banded.persist()
+    if max_bucket is not None:
+        # Cap pathological buckets before the self-join.
+        bucket_sizes = banded_c.groupBy("band_id", "band_key").count()
+        banded = (
+            banded_c.join(
+                bucket_sizes.filter(F.col("count") <= max_bucket),
+                ["band_id", "band_key"],
+                "left_semi",
+            )
         )
-    )
     a = banded.alias("a")
     b_ = banded.alias("b")
     pairs = (
@@ -241,43 +246,60 @@ def jaccard_pairs(
     result is APPROXIMATE: denominators stay full-set, so capped pairs get
     an underestimated Jaccard and true above-threshold pairs whose overlap
     is mostly hot shingles can drop out."""
-    # persist the shingle projection: it feeds sizes + both join sides, and
-    # upstream shingling is the expensive part (would be recomputed 3×)
+    # persist the shingle projection: it feeds the df-cap aggregate + both
+    # sides of the pair expansion, and upstream shingling is the expensive
+    # part (would be recomputed 3×)
     base = _spread(df.select(
         F.col(id_col), F.array_distinct(F.col(shingle_col)).alias("__sh")
     ), id_col).persist()
-    sizes = base.select(F.col(id_col), F.size("__sh").alias("sz"))
-    ex = base.select(F.col(id_col), F.explode("__sh").alias("sh"))
+    # r7 shape — three structural changes, each measured on a 127M-pair
+    # corpus (sf1.0):
+    #   1. carry the per-doc set size THROUGH the expansion and group by
+    #      (id_a, id_b, sz_a, sz_b): sz is functionally dependent on id,
+    #      so key cardinality is unchanged, the pair-count aggregate's
+    #      output already holds both denominator terms, and the old
+    #      post-aggregate size joins — two more full passes over every
+    #      counted pair (the dominant cost: pair counts barely compress,
+    #      |distinct pairs| ≈ |pair rows|) — disappear;
+    #   2. widen the expansion + both aggregate stages beyond the session
+    #      shuffle-partition count (scale-adaptive: a multiple of
+    #      defaultParallelism, AQE coalesces small cases back down) — at
+    #      |pairs|/32 rows per task the partial and final aggregation maps
+    #      outgrow execution memory and fall into sort-based spill;
+    #   3. the jaccard threshold applies directly on the aggregate output
+    #      row, before anything else touches the pairs.
+    n_wide = 8 * df.sparkSession.sparkContext.defaultParallelism
+    ex = base.select(
+        F.col(id_col), F.size("__sh").alias("sz"), F.explode("__sh").alias("sh")
+    )
     if max_df is not None:
         dfreq = ex.groupBy("sh").count()
         ex = ex.join(dfreq.filter(F.col("count") <= max_df), "sh", "left_semi")
-    a = ex.alias("a")
-    b = ex.alias("b")
+    ex = ex.repartition(n_wide, "sh")
+    a, b = ex.alias("a"), ex.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.sh") == F.col("b.sh"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        F.col("a.sz").alias("sz_a"),
+        F.col("b.sz").alias("sz_b"),
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        pairs.repartition(n_wide, "id_a", "id_b")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
-    out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-                6,
-            ),
-        )
-        .select("id_a", "id_b", "jaccard")
+    out = inter.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+            6,
+        ).alias("jaccard"),
     )
     if threshold > 0:
         out = out.filter(F.col("jaccard") >= threshold)
@@ -293,7 +315,7 @@ def minhash_dedup(
     threshold: float = 0.5,
     num_perm: int = NUM_PERM,
     bands: int = 16,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → LSH candidates → exact-Jaccard
     verify ≥ threshold → drop dominated docs.
@@ -622,7 +644,7 @@ def minhash_dedup_cc(
     threshold: float = 0.5,
     num_perm: int = NUM_PERM,
     bands: int = 16,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
     max_iter: int = 30,
 ) -> DataFrame:
     """Near-dup removal with TRANSITIVE duplicate sets: one survivor per

@@ -48,7 +48,7 @@ def create_corpus(
     threshold: float = 0.5,
     num_perm: int = 64,
     bands: int = 16,
-    max_bucket: int = 1000,
+    max_bucket: int | None = 1000,
     shingle_window: int = 6,
     tld_col: str | None = None,
 ) -> DataFrame:

@@ -1030,7 +1030,7 @@ def _minhash_pairs_oracle(
 def minhash_dedup_pairs(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     sh = DD.with_shingles(d, "text", "doc_id", 3)
-    cands = DD.minhash_candidates(sh, "shingles", "doc_id", 64, 16, max_bucket=1_000_000)
+    cands = DD.minhash_candidates(sh, "shingles", "doc_id", 64, 16, max_bucket=None)
     out = DD.jaccard_for_pairs(cands, sh, "doc_id", threshold=0.5)
     return own_caches(out, adopt_from=(sh, cands))
 
@@ -1587,11 +1587,11 @@ def _minhash_survivors_oracle(num_perm: int = 64, bands: int = 16, threshold: fl
 @q("minhash_dedup_survivors", _minhash_survivors_oracle())
 def minhash_dedup_survivors(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
-    # max_bucket huge here because the oracle is uncapped — explicit so
+    # uncapped (None) because the oracle is uncapped — explicit so
     # Spark/oracle parity holds at any data scale (production default: 1000)
     surv = DD.minhash_dedup(
         d, "text", "doc_id", relevance_col="n_chars", ngram=3, threshold=0.5,
-        max_bucket=1_000_000,
+        max_bucket=None,
     )
     # re-own: chaining .select() directly would drop `surv` (and fire its
     # cache-release finalizer) before the caller's action
@@ -1637,7 +1637,7 @@ def minhash_cc_components(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     sh = DD.with_shingles(d, "text", "doc_id", 3)
     cands = DD.minhash_candidates(
-        sh, "shingles", "doc_id", 64, 16, max_bucket=1_000_000
+        sh, "shingles", "doc_id", 64, 16, max_bucket=None
     )
     verified = DD.jaccard_for_pairs(cands, sh, "doc_id", threshold=0.5)
     out = DD.connected_components(verified, "id_a", "id_b")
@@ -1674,7 +1674,7 @@ def minhash_dedup_cc_survivors(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     surv = DD.minhash_dedup_cc(
         d, "text", "doc_id", relevance_col="n_chars", ngram=3, threshold=0.5,
-        max_bucket=1_000_000,
+        max_bucket=None,
     )
     return own_caches(surv.select("doc_id"), adopt_from=(surv,))
 
@@ -2633,7 +2633,7 @@ def create_corpus_pipeline(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return create_corpus(
-        d, ["join", "merge"], k=50, min_relevance=0.1, max_bucket=1_000_000
+        d, ["join", "merge"], k=50, min_relevance=0.1, max_bucket=None
     )
 
 
@@ -3663,7 +3663,7 @@ def minhash_recall_report(spark, sf_dir):
     sh = DD.with_shingles(d, "text", "doc_id", 3)
     truth = DD.jaccard_pairs(sh, "shingles", "doc_id", threshold=0.5)
     cands = DD.minhash_candidates(
-        sh, "shingles", "doc_id", 64, 16, max_bucket=1_000_000
+        sh, "shingles", "doc_id", 64, 16, max_bucket=None
     )
     verified = DD.jaccard_for_pairs(cands, sh, "doc_id", threshold=0.5)
     n_true = truth.agg(F.count("*").alias("n_true_pairs"))
