@@ -929,8 +929,16 @@ def dedup_lines(
     the agg buffers, vs 0.80 s for the r5 window — the +0.3 s is the
     honest cost of skew-immunity at 100× (same trade as the r5 simhash
     geometry fix)."""
+    # Materialize the lines array ONCE behind a projection (and spread the
+    # scan): `lines_col` is typically an expression over the raw text, and
+    # the reassembly lambdas below index into it per element — an
+    # unmaterialized lines expression would be re-evaluated once per line
+    # per doc (O(lines²·split) per row, the dominant cost of the r5/r6
+    # shape).
+    base = _spread(df.select(F.col(id_col), lines_col.alias("__lines")), id_col)
+    lines_col = F.col("__lines")
     ex = (
-        df.select(F.col(id_col), F.posexplode(lines_col).alias("pos", "line"))
+        base.select(F.col(id_col), F.posexplode(lines_col).alias("pos", "line"))
         .where(F.col("line") != "")
         .select(id_col, "pos", F.md5("line").alias("key"))
     )
@@ -964,7 +972,7 @@ def dedup_lines(
         )
     )
     return (
-        df.join(possets, id_col, "left")
+        base.join(possets, id_col, "left")
         .select(
             F.col(id_col),
             F.size(full).cast("long").alias("n_lines_kept"),

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from commoncrawlscalatools_spark.functions.text import token_count_ws
 from commoncrawlscalatools_spark.operators.filters import mention_count
+from commoncrawlscalatools_spark.spread import spread
 
 
 def relevance_score(text: Column, query_terms: list[str]) -> Column:
@@ -82,7 +83,9 @@ def bm25_topk(
         F.regexp_count(text, F.lit(f"(?i){_re.escape(t)}")).alias(f"__tf{i}")
         for i, t in enumerate(query_terms)
     ]
-    d = df.select(F.col(id_col), dl.alias("__dl"), *tf_cols)
+    d = spread(df.select(id_col, text_col), id_col).select(
+        F.col(id_col), dl.alias("__dl"), *tf_cols
+    )
     stats = d.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         F.avg("__dl").alias("__avgdl"),
@@ -101,10 +104,18 @@ def bm25_topk(
         norm = tf + k1 * (1.0 - b + b * F.col("__dl").cast("double") / F.col("__avgdl"))
         score = score + idf * tf * (k1 + 1.0) / norm
         any_tf = any_tf + F.col(f"__tf{i}")
-    out = scored.filter(any_tf > 0).select(
-        F.col(id_col), F.round(score, 6).alias("bm25")
+    out = scored.select(
+        F.col(id_col), F.round(score, 6).alias("bm25"), (any_tf > 0).alias("__hit")
     )
-    return out.orderBy(F.desc("bm25"), F.col(id_col)).limit(k)
+    # match-filter above the heap (see search_topk): tf > 0 ⇔ bm25 > 0
+    # strictly, so it is a monotone threshold on the sort key and commutes
+    # with limit
+    return (
+        out.orderBy(F.desc("bm25"), F.col(id_col))
+        .limit(k)
+        .filter(F.col("__hit"))
+        .select(id_col, "bm25")
+    )
 
 
 def format_query(query_list: list[str], field_name: str = "content") -> str:
@@ -147,13 +158,18 @@ def multi_field_search_topk(
     different fields, exactly what the flat term-list operator couldn't
     express. Accepts the reference's clause string or parsed pairs."""
     clauses = parse_query(query) if isinstance(query, str) else list(query)
+    df = spread(df, id_col)
     score = F.lit(0.0)
     for field, value in clauses:
         score = score + relevance_score(F.col(field), [value])
     scored = df.select(
         F.col(id_col), F.round(score, 6).alias("relevance")
-    ).filter(F.col("relevance") > min_relevance)
-    return scored.orderBy(F.desc("relevance"), F.col(id_col)).limit(k)
+    )
+    return (
+        scored.orderBy(F.desc("relevance"), F.col(id_col))
+        .limit(k)
+        .filter(F.col("relevance") > min_relevance)
+    )
 
 
 def fetch_content_for_topk(

@@ -32,6 +32,7 @@ from commoncrawlscalatools_spark.operators import filters as FL
 from commoncrawlscalatools_spark.operators import relevance as RV
 from commoncrawlscalatools_spark.operators import similarity as SM
 from commoncrawlscalatools_spark.operators.frontier import schedule_round
+from commoncrawlscalatools_spark.spread import spread
 from commoncrawlscalatools_spark.streaming import stream as ST
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -301,7 +302,9 @@ def _topic_oracle() -> str:
 
 @q("topic_filter_docs", _topic_oracle())
 def topic_filter_docs(spark, sf_dir):
-    d = FL.topic_categorize(t(spark, sf_dir, "documents"), "text", DOC_TOPICS)
+    d = FL.topic_categorize(
+        spread(t(spark, sf_dir, "documents"), "doc_id"), "text", DOC_TOPICS
+    )
     return (
         d.select("doc_id", "category_counts", F.explode("categories").alias("category"))
         .select(
@@ -607,7 +610,9 @@ def lang_id_counts(spark, sf_dir):
     """,
 )
 def doc_fingerprints(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    # per-token md5 + rolling-hash fold is the heaviest pure-map query in
+    # the catalog — spread the unsplittable scan first
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     return d.select(
         "doc_id",
         TX.doc_fingerprint(F.col("text")).alias("fingerprint"),
@@ -1258,7 +1263,10 @@ _URL_SQL = """
 
 
 def _urls_df(spark, sf_dir):
-    d = t(spark, sf_dir, "documents")
+    # spread the single-file scan BEFORE the per-row URL synthesis /
+    # canonicalization work every consumer (url ops, frontier queries)
+    # runs on these rows — one task otherwise does it all
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id")
     tld = (
         F.when(F.col("doc_id") % 3 == 0, "com")
         .when(F.col("doc_id") % 3 == 1, "org")
@@ -3253,8 +3261,9 @@ def pii_redaction(spark, sf_dir):
     synthetic corpus has no organic PII, so both engines append the same
     deterministic doc_id-keyed PII tail first — the regex chain itself
     (order-sensitive, Java-regex/RE2 dual-valid) is what's under test.
-    Narrow codegen'd map: no shuffle, no Python in the row path."""
-    d = t(spark, sf_dir, "documents")
+    Narrow codegen'd map: spread once for scan parallelism, then no
+    further shuffle, no Python in the row path."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id")
     tail = (
         F.when(
             F.col("doc_id") % 5 == 0,
