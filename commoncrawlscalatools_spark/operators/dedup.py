@@ -935,7 +935,9 @@ def dedup_lines(
     # unmaterialized lines expression would be re-evaluated once per line
     # per doc (O(lines²·split) per row, the dominant cost of the r5/r6
     # shape).
-    base = _spread(df.select(F.col(id_col), lines_col.alias("__lines")), id_col)
+    base = _spread(
+        df.select(F.col(id_col), lines_col.alias("__lines")), id_col
+    ).persist()
     lines_col = F.col("__lines")
     ex = (
         base.select(F.col(id_col), F.posexplode(lines_col).alias("pos", "line"))
@@ -971,7 +973,7 @@ def dedup_lines(
             F.coalesce(F.col("__keep"), F.array().cast("array<int>")), empty_pos
         )
     )
-    return (
+    out = (
         base.join(possets, id_col, "left")
         .select(
             F.col(id_col),
@@ -982,3 +984,4 @@ def dedup_lines(
         )
         .where(F.col("n_lines_kept") > 0)
     )
+    return own_caches(out, cached=(base,))

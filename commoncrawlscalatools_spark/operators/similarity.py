@@ -97,13 +97,20 @@ def hyperplane(seed: int, plane_id: int, dim: int) -> list[float]:
     return out
 
 
-def lsh_bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
-    """Bucket id = bit-packed signs of dot(vec, plane_j)."""
+def lsh_bucket_expr(
+    vec: Column, planes: list[list[float]], unroll: bool = True
+) -> Column:
+    """Bucket id = bit-packed signs of dot(vec, plane_j). `unroll` follows
+    the one-off-vs-amortized rule (PLANS.md §ANN): the unrolled dots cost
+    ~1 s of Janino compile per invocation, right for the write-time index
+    build, wrong for a single interactive probe pass (bit-identical fold
+    order either way)."""
     bucket = F.lit(0)
     for j, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
         bucket = bucket + F.when(
-            dot(_as_double(vec), p, dim=len(plane)) >= 0, F.lit(1 << j)
+            dot(_as_double(vec), p, dim=len(plane) if unroll else None) >= 0,
+            F.lit(1 << j),
         ).otherwise(F.lit(0))
     return bucket
 
@@ -133,7 +140,9 @@ def lsh_cosine_topk(
         if sum(float(a) * float(b) for a, b in zip(query_vec, plane)) >= 0:
             q_bucket |= 1 << j
     probes = [q_bucket ^ m for m in probe_masks(n_planes, probe_bits)]
-    bucketed = df.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), planes))
+    bucketed = df.withColumn(
+        "bucket", lsh_bucket_expr(F.col(vec_col), planes, unroll=False)
+    )
     return cosine_topk(
         bucketed.filter(F.col("bucket").isin(probes)), query_vec, vec_col, id_col, k
     )
@@ -470,8 +479,14 @@ def knn_join_lsh(
     corpus side of the join). See test_similarity.py for the measured
     recall floor."""
     rb = knn_corpus_bucket_rows(right, right_vec, right_id, dim, n_planes, n_tables, seed)
+    # Probe side interpreted (unroll=False): the query batch is small by
+    # contract, and the unrolled per-plane dot costs a fresh Janino
+    # compile per invocation — measured ~2 s of fixed wall per call for
+    # bit-identical bucket values. The corpus side keeps the codegen'd
+    # unroll: its cost is per-row and amortizes the compile at scale.
     lb = knn_probe_rows(
-        left, left_vec, left_id, dim, n_planes, probe_bits, n_tables, seed
+        left, left_vec, left_id, dim, n_planes, probe_bits, n_tables, seed,
+        unroll=False,
     )
     return _knn_rank_join(lb, rb, left_vec, right_vec, left_id, right_id, k, dim)
 
@@ -579,12 +594,19 @@ def _knn_rank_join(
     pairs = j.select(left_id, left_vec, right_id, right_vec).dropDuplicates(
         [left_id, right_id]
     )
-    scored = pairs.select(
+    # materialize the double-cast arrays BEFORE the dim-unrolled cosine:
+    # each unrolled element_at against an inline transform(cast) re-runs
+    # the whole cast per term (~3·dim array builds per pair)
+    cast_pairs = pairs.select(
+        left_id,
+        right_id,
+        _as_double(F.col(left_vec)).alias("__lv"),
+        _as_double(F.col(right_vec)).alias("__rv"),
+    )
+    scored = cast_pairs.select(
         F.col(left_id),
         F.col(right_id),
-        F.round(
-            cosine(_as_double(F.col(left_vec)), _as_double(F.col(right_vec)), dim), 6
-        ).alias("cos_sim"),
+        F.round(cosine(F.col("__lv"), F.col("__rv"), dim), 6).alias("cos_sim"),
     )
     w = W.partitionBy(left_id).orderBy(F.desc("cos_sim"), F.col(right_id))
     return (
