@@ -57,6 +57,15 @@ def canonicalize_seeds(seeds: DataFrame, url_col: str = "url") -> DataFrame:
     from commoncrawlscalatools_spark.exprcache import cached_expr
 
     c = cached_expr("canonical_url", lambda: U.canonical_url(F.col(url_col)), url_col)
+    # host is re-derived from the CANONICAL form, which is structurally
+    # `scheme://host[:port][/path...]` by construction — a substring_index
+    # chain gives the identical host without url_host's three regex passes
+    # (this expression runs on every outlink every round)
+    host = F.substring_index(
+        F.substring_index(F.substring_index(F.col("url"), "://", -1), "/", 1),
+        ":",
+        1,
+    )
     cand = (
         seeds.select(
             c.alias("url"),
@@ -64,7 +73,7 @@ def canonicalize_seeds(seeds: DataFrame, url_col: str = "url") -> DataFrame:
         )
         .filter(F.col("url").isNotNull())
         .withColumn("url_hash", U.url_hash(F.col("url")))
-        .withColumn("host", U.url_host(F.col("url")))
+        .withColumn("host", host)
     )
     return cand.groupBy("url", "url_hash", "host").agg(
         F.max("priority").alias("priority")

@@ -74,10 +74,14 @@ from commoncrawlscalatools_spark.sources import fetch as FE
 # Driver-side pool for concurrent snapshot commits of independent small
 # state tables within a round (Spark job submission is thread-safe; each
 # table has its own manifest file, so the atomic-publish protocol is
-# per-table and race-free). Sized for the three side tables; drained at
-# interpreter exit (every round also joins all futures at its barrier, so
-# shutdown never races an in-flight commit).
-_COMMIT_POOL = ThreadPoolExecutor(max_workers=4, thread_name_prefix="crawl-commit")
+# per-table and race-free). Sized for the r7 task set (docs write,
+# lineage, host_state, seen+filter-maintenance, frontier_log, frontier
+# data, filter-state prefetch); no task ever blocks on another FUTURE
+# inside the pool (cross-task ordering is sequenced within a single
+# task), so the pool cannot deadlock. Drained at interpreter exit (every
+# round also joins all futures at its barrier, so shutdown never races
+# an in-flight commit).
+_COMMIT_POOL = ThreadPoolExecutor(max_workers=6, thread_name_prefix="crawl-commit")
 atexit.register(_COMMIT_POOL.shutdown, wait=False, cancel_futures=True)
 
 
@@ -230,6 +234,28 @@ class CrawlEngine:
         host_state = self.store.read("host_state", round_no - 1)
         seen = self.store.read("seen", round_no - 1)
         robots = self.store.read("robots", 0)
+        # Prefetch the seen-filter state on a pool thread: the collect +
+        # sc.broadcast of the previous round's filter bytes only needs
+        # round r-1 state, so it overlaps the whole fetch phase instead of
+        # sitting on the serial path between docs and the feedback chain.
+        filt = self._filter_kind()
+        bloom_prev = None
+        cuckoo_prev = None
+        bloom_fut = None
+        if filt == "bloom":
+            bloom_prev = self.store.read("bloom", round_no - 1)
+            _bp = bloom_prev
+            bloom_fut = _COMMIT_POOL.submit(
+                lambda: self.spark.sparkContext.broadcast(SN.collect_bloom(_bp))
+            )
+        elif filt == "cuckoo":
+            from commoncrawlscalatools_spark.operators import cuckoo as CK
+
+            cuckoo_prev = self.store.read("cuckoo", round_no - 1)
+            _cp = cuckoo_prev
+            bloom_fut = _COMMIT_POOL.submit(
+                lambda: self.spark.sparkContext.broadcast(CK.collect_cuckoo(_cp))
+            )
 
         scheduled = FR.schedule_round(
             frontier,
@@ -405,19 +431,13 @@ class CrawlEngine:
         outlinks = docs.select(F.explode("outlinks").alias("url"))
         cand = FR.canonicalize_seeds(outlinks.withColumn("priority", F.lit(0.5)))
         cand = RB.apply_robots(cand, robots)
-        filt = self._filter_kind()
         bloom_bc = None
-        bloom_prev = None
-        cuckoo_prev = None
         maybe_seen_fn = None
-        if filt == "bloom":
-            bloom_prev = self.store.read("bloom", round_no - 1)
-            bloom_bc = self.spark.sparkContext.broadcast(SN.collect_bloom(bloom_prev))
-        elif filt == "cuckoo":
+        if bloom_fut is not None:
+            bloom_bc = bloom_fut.result()
+        if filt == "cuckoo":
             from commoncrawlscalatools_spark.operators import cuckoo as CK
 
-            cuckoo_prev = self.store.read("cuckoo", round_no - 1)
-            bloom_bc = self.spark.sparkContext.broadcast(CK.collect_cuckoo(cuckoo_prev))
             ck_bc, n_b = bloom_bc, cfg.bloom_buckets
             maybe_seen_fn = lambda c: CK.cuckoo_maybe_seen(c, ck_bc, n_buckets=n_b)  # noqa: E731
         new_urls, flagged_cache = SN.filter_unseen_flagged(
@@ -429,13 +449,20 @@ class CrawlEngine:
         # seen commit = this round's DELTA only (the table is append-mode:
         # read() unions published deltas). O(new URLs) write per round —
         # a full-rewrite union here is O(|seen|) and cannot survive 10^10
-        # URLs. The new-URL count rides the write as an Observation.
+        # URLs. r7: the feedback chain MATERIALIZES here (one count over
+        # the observed persisted frame — the expensive compute), and the
+        # parquet serialization of the delta moves to a pool thread,
+        # sequenced IN the same pool task as filter maintenance (which
+        # reads the committed seen table on a rebuild) so the write-then-
+        # maintain order holds without a cross-future wait.
         obs_new = Observation(f"new_r{round_no}")
-        seen_delta = new_frontier_rows.observe(
+        new_frontier_rows.observe(
             obs_new, F.count(F.lit(1)).alias("n_new")
-        ).select("url_hash", F.lit(round_no).cast("int").alias("round_added"))
-        self.store.write("seen", seen_delta, round_no, append=True)
+        ).count()
         n_new = int(obs_new.get["n_new"] or 0)
+        seen_delta = new_frontier_rows.select(
+            "url_hash", F.lit(round_no).cast("int").alias("round_added")
+        )
         t_seen = time.time()
 
         # incremental filter maintenance: delta over THIS round's new URLs
@@ -532,8 +559,12 @@ class CrawlEngine:
                     )
                     maint["rebuilt"] = True
 
-        if filt != "none":
-            side_commits.append(_COMMIT_POOL.submit(_filter_maintenance))
+        def _seen_then_maintenance():
+            self.store.write("seen", seen_delta, round_no, append=True)
+            if filt != "none":
+                _filter_maintenance()
+
+        side_commits.append(_COMMIT_POOL.submit(_seen_then_maintenance))
 
         t_filter_maint = time.time()
 
@@ -592,11 +623,16 @@ class CrawlEngine:
             and metrics["docs_per_s"] < self.config.min_docs_per_s
         )
 
-        # frontier data write overlaps the in-flight filter-maintenance
-        # future; only the manifest PUBLISH below is the round's commit
-        # point, so the all-or-nothing round protocol is unchanged (kill
-        # before publish ⇒ resume re-runs the round).
-        self.store.write_unpublished(frontier_next, "frontier", round_no)
+        # frontier data write runs as one more pool future (r7): only the
+        # manifest PUBLISH below is the round's commit point, so the
+        # all-or-nothing round protocol is unchanged (kill before publish
+        # ⇒ resume re-runs the round); the barrier joins it with every
+        # other side commit before the marker.
+        side_commits.append(
+            _COMMIT_POOL.submit(
+                self.store.write_unpublished, frontier_next, "frontier", round_no
+            )
+        )
         t_frontier_data = time.time()
         # barrier: every concurrent side commit — documents included —
         # must be durable before the marker (exceptions re-raise here →
