@@ -742,9 +742,26 @@ def dup_span_intervals(
             )
         ).alias("pos", "key"),
     )
+    # Cross-doc duplicate keys: dedupe (doc, key) IN-ROW (array_distinct
+    # before a second explode), then a plain map-side-combinable count —
+    # the r6 countDistinct(id) expanded into two aggregate exchanges over
+    # every (key, id) pair; per-doc distinctness is a per-row property and
+    # never needed a shuffle.
+    distinct_keys = _spread(base, id_col).select(
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - n),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i + 1, n))
+                    ),
+                )
+            )
+        ).alias("key")
+    )
     dup_keys = (
-        grams.groupBy("key")
-        .agg(F.countDistinct(id_col).alias("nd"))
+        distinct_keys.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("nd"))
         .where(F.col("nd") >= min_docs)
         .select("key")
     )

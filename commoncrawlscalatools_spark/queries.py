@@ -138,16 +138,26 @@ def nation_revenue(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
+    # r7: pre-aggregate lineitem by order key FIRST — the revenue sum is
+    # distributive and each order maps to exactly one (customer, nation),
+    # so the per-nation distinct-order count becomes a plain count over
+    # the pre-aggregated rows. This removes the countDistinct expansion
+    # (two aggregate exchanges over the joined fact rows) and shrinks the
+    # broadcast-join stream side 4x before any join runs. Measured
+    # identical output (collect-compare) — fp association noise is far
+    # below the 2dp rounding, as it already is across Spark's own
+    # partition orders.
+    lpre = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__rev")
+    )
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        lpre.join(o, lpre.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.round(F.sum("__rev"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
         )
     )
 
