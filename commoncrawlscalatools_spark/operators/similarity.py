@@ -98,18 +98,26 @@ def hyperplane(seed: int, plane_id: int, dim: int) -> list[float]:
 
 
 def lsh_bucket_expr(
-    vec: Column, planes: list[list[float]], unroll: bool = True
+    vec: Column,
+    planes: list[list[float]],
+    unroll: bool = True,
+    pre_cast: bool = False,
 ) -> Column:
     """Bucket id = bit-packed signs of dot(vec, plane_j). `unroll` follows
     the one-off-vs-amortized rule (PLANS.md §ANN): the unrolled dots cost
     ~1 s of Janino compile per invocation, right for the write-time index
     build, wrong for a single interactive probe pass (bit-identical fold
-    order either way)."""
+    order either way). `pre_cast=True` declares `vec` already a
+    MATERIALIZED array<double> column — the unrolled form must never wrap
+    an inline transform(cast), because every element_at term re-evaluates
+    the whole cast array (measured ~3·dim array builds per row on the
+    write path)."""
     bucket = F.lit(0)
+    av = vec if pre_cast else _as_double(vec)
     for j, plane in enumerate(planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
         bucket = bucket + F.when(
-            dot(_as_double(vec), p, dim=len(plane) if unroll else None) >= 0,
+            dot(av, p, dim=len(plane) if unroll else None) >= 0,
             F.lit(1 << j),
         ).otherwise(F.lit(0))
     return bucket
@@ -167,10 +175,21 @@ def write_bucketed_embeddings(
     scanning and hashing the full table per query. One pass over the data;
     the bucket expression is the same deterministic hyperplane formula the
     per-query variant uses, so results are identical."""
+    from commoncrawlscalatools_spark.spread import spread
+
     planes = [hyperplane(seed, j, dim) for j in range(n_planes)]
-    bucketed = df.select(
-        id_col, vec_col, lsh_bucket_expr(F.col(vec_col), planes).alias("bucket")
+    # spread the (possibly single-file) scan so the bucket pass
+    # parallelizes; materialize the double cast ONCE; then cluster by
+    # bucket so each write task owns whole buckets (one file per bucket
+    # instead of n_tasks·n_buckets small files)
+    cast_df = spread(df.select(id_col, vec_col), id_col).select(
+        id_col, vec_col, _as_double(F.col(vec_col)).alias("__ev")
     )
+    bucketed = cast_df.select(
+        id_col,
+        vec_col,
+        lsh_bucket_expr(F.col("__ev"), planes, pre_cast=True).alias("bucket"),
+    ).repartition(1 << n_planes, "bucket")
     bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
@@ -259,7 +278,11 @@ def kmeans_centroids(
 
 
 def ivf_assign_expr(
-    vec: Column, centroids: list[list[float]], dim: int, unroll: bool = False
+    vec: Column,
+    centroids: list[list[float]],
+    dim: int,
+    unroll: bool = False,
+    pre_cast: bool = False,
 ) -> Column:
     """Cluster id = argmax_j dot(vec, centroid_j) — 1-based array_position
     over the dot-product array (ties → first index, matching the oracle's
@@ -272,7 +295,7 @@ def ivf_assign_expr(
     assignment keeps the interpreted HOF dot (bit-identical fold order);
     the write-time index build amortizes the compile over the full table
     and unrolls."""
-    v = _as_double(vec)
+    v = vec if pre_cast else _as_double(vec)
     d = dim if unroll else None
     dots = F.array(
         *[F.round(dot(v, F.lit([float(x) for x in c]), dim=d), 9) for c in centroids]
@@ -328,11 +351,17 @@ def write_ivf_embeddings(
     write_bucketed_embeddings, with Voronoi cells instead of LSH buckets.
     A query then reads only its nprobe cell partitions (PartitionFilters
     file pruning); at 10^10 rows the scan touches nprobe/k of the data."""
-    assigned = df.select(
+    from commoncrawlscalatools_spark.spread import spread
+
+    assigned = spread(df.select(id_col, vec_col), id_col).select(
+        id_col, vec_col, _as_double(F.col(vec_col)).alias("__ev")
+    ).select(
         id_col,
         vec_col,
-        ivf_assign_expr(F.col(vec_col), centroids, dim, unroll=True).alias("cell"),
-    )
+        ivf_assign_expr(
+            F.col("__ev"), centroids, dim, unroll=True, pre_cast=True
+        ).alias("cell"),
+    ).repartition(len(centroids), "cell")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
@@ -493,19 +522,21 @@ def knn_join_lsh(
 
 def _knn_bucket_col(
     vec: Column, table: int, dim: int, n_planes: int, seed: int,
-    unroll: bool = True,
+    unroll: bool = True, pre_cast: bool = False,
 ) -> Column:
     planes = [hyperplane(seed + 1000 * table, j, dim) for j in range(n_planes)]
     # join key packs the table id above the bucket bits so tables
     # never collide: key = (table << n_planes) | bucket
     bucket = F.lit(0)
+    av = vec if pre_cast else _as_double(vec)
     for j, plane in enumerate(planes):
         p = F.lit([float(x) for x in plane])
         # unroll=False: the HOF dot (interpreted, zero Janino compile) —
         # the right trade for a per-call probe side of a few rows; the
-        # write-time corpus pass keeps the codegen'd unroll. Same fold
-        # order ⇒ bit-identical bucket values on both sides of the join.
-        d = dot(_as_double(vec), p, dim=len(plane) if unroll else None)
+        # write-time corpus pass keeps the codegen'd unroll (with the
+        # cast MATERIALIZED first — see lsh_bucket_expr pre_cast). Same
+        # fold order ⇒ bit-identical bucket values on both join sides.
+        d = dot(av, p, dim=len(plane) if unroll else None)
         bucket = bucket + F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket + F.lit(table << n_planes)
 
@@ -523,12 +554,20 @@ def knn_corpus_bucket_rows(
     bucket. This is the half worth AMORTIZING — write it once with
     write_knn_corpus_buckets and every subsequent query batch skips the
     corpus-side hashing entirely (knn_join_lsh_bucketed)."""
+    from commoncrawlscalatools_spark.spread import spread
+
     return (
-        right.select(
+        spread(right.select(right_id, right_vec), right_id)
+        .select(
+            right_id, right_vec, _as_double(F.col(right_vec)).alias("__ev")
+        )
+        .select(
             right_id, right_vec,
             F.array(
                 *[
-                    _knn_bucket_col(F.col(right_vec), t, dim, n_planes, seed)
+                    _knn_bucket_col(
+                        F.col("__ev"), t, dim, n_planes, seed, pre_cast=True
+                    )
                     for t in range(n_tables)
                 ]
             ).alias("__bs"),
@@ -633,11 +672,16 @@ def write_knn_corpus_buckets(
     of re-hashing |R| rows per call, and the probe-bucket filter prunes at
     the partition level."""
     rb = knn_corpus_bucket_rows(right, right_vec, right_id, dim, n_planes, n_tables, seed)
-    # precompute the corpus-side L2 norm at write time (codegen'd unroll —
-    # the compile amortizes over the whole corpus here, cf. the IVF
-    # write-time rule): the query-time re-rank then only evaluates the
-    # cross dot product per candidate pair
-    rb = rb.withColumn("__rnorm", l2_norm(_as_double(F.col(right_vec)), dim))
+    # precompute the corpus-side L2 norm at write time (codegen'd unroll
+    # over a MATERIALIZED cast — the compile amortizes over the whole
+    # corpus here, cf. the IVF write-time rule): the query-time re-rank
+    # then only evaluates the cross dot product per candidate pair
+    rb = rb.select(
+        "*", _as_double(F.col(right_vec)).alias("__ev")
+    ).select(
+        right_id, right_vec, "__bucket",
+        l2_norm(F.col("__ev"), dim).alias("__rnorm"),
+    ).repartition(n_tables << n_planes, "__bucket")
     rb.write.mode("overwrite").partitionBy("__bucket").parquet(path)
 
 
