@@ -54,17 +54,22 @@ def doc_bigrams(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def train_bigram_lm(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bg: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Returns (unigram_prefix_counts, bigram_counts, vocab_row):
     (w1, c1), (w1, w2, c12), and a ONE-ROW (vocab_size) DataFrame —
-    the scalar stays a broadcastable relation, never a driver collect."""
-    bg = doc_bigrams(df, text_col, id_col)
+    the scalar stays a broadcastable relation, never a driver collect.
+    `bg` lets train+score share ONE materialized bigram pass (the
+    in-row pair build over the whole corpus is the expensive part)."""
+    if bg is None:
+        bg = doc_bigrams(df, text_col, id_col)
     bi = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
     uni = bi.groupBy("w1").agg(F.sum("c12").alias("c1"))
     toks = ws_tokens(F.col(text_col))
     vocab = (
-        df.select(F.explode(toks).alias("w"))
+        _spread(df.select(id_col, text_col), id_col)
+        .select(F.explode(toks).alias("w"))
         .agg(F.countDistinct("w").cast("long").alias("vocab_size"))
     )
     return uni, bi, vocab
@@ -78,12 +83,15 @@ def score_bigram_nll(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: float = 0.5,
+    bg: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_bigrams, nll_micro): per-doc token count and total NLL in
     integer micro-nats under the add-k bigram model. Unseen (w1,w2) and
     unseen w1 coalesce to 0 counts, so held-out text scores without
-    special casing. perplexity = exp(nll_micro / 1e6 / n_bigrams)."""
-    bg = doc_bigrams(df, text_col, id_col)
+    special casing. perplexity = exp(nll_micro / 1e6 / n_bigrams).
+    `bg` shares a materialized bigram table with train_bigram_lm."""
+    if bg is None:
+        bg = doc_bigrams(df, text_col, id_col)
     scored = (
         bg.join(bi, ["w1", "w2"], "left")
         .join(uni, ["w1"], "left")

@@ -3595,6 +3595,10 @@ def lm_perplexity_scores(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     from commoncrawlscalatools_spark.operators import lm as LM
 
+    # deliberately NOT sharing a persisted bigram table between train and
+    # score: caching the 2.6M-row pair table measured slower than simply
+    # re-running the (spread, in-row) pair build — recompute beats
+    # materialize for this narrow intermediate
     uni, bi, vocab = LM.train_bigram_lm(d, "text", "doc_id")
     return LM.score_bigram_nll(d, uni, bi, vocab, "text", "doc_id", k=0.5)
 
