@@ -78,7 +78,10 @@ def training_data_pipeline(
     )
     deduped = base.join(winners, id_col)
 
-    corpus = deduped.where(F.col(id_col) % bench_mod != 0)
+    # corpus feeds TWO branches of one action (the decontamination gram
+    # pass and the left-anti survivor join) — persist it so the
+    # gate-join + dedup-join upstream runs once, not per branch
+    corpus = deduped.where(F.col(id_col) % bench_mod != 0).persist()
     bench = docs.where(F.col(id_col) % bench_mod == 0)
     contaminated = decontaminate(corpus, bench, text_col, id_col, n=decon_n).select(
         id_col
@@ -98,4 +101,4 @@ def training_data_pipeline(
         budget=budget,
         n_buckets=n_buckets,
     )
-    return own_caches(packed, cached=(g,))
+    return own_caches(packed, cached=(g, corpus))
