@@ -44,12 +44,38 @@ def search_topk(
     min_relevance: float = 0.1,
 ) -> DataFrame:
     """score → threshold → top-K (ids + relevance only; content re-joined
-    by the caller — reference pattern J1, createCorpus.scala:314-325)."""
-    scored = df.select(
+    by the caller — reference pattern J1, createCorpus.scala:314-325).
+
+    r7 shape: the scan is spread first (the per-row scoring otherwise
+    serializes onto the source file's partition count); the mention and
+    token counts are MATERIALIZED columns (the composed relevance
+    expression references the token count twice — guard + denominator —
+    and the tokenization is an interpreted HOF that re-runs per
+    reference when inline); and the threshold applies ABOVE the top-k
+    limit — a filter on the descending sort key commutes with limit
+    (above-threshold rows sort first), and above GlobalLimit it cannot
+    be pushed back through the projection, where it would re-evaluate
+    the whole scoring expression per row a second time."""
+    parts = spread(df.select(id_col, text_col), id_col).select(
         F.col(id_col),
-        relevance_score(F.col(text_col), query_terms).alias("relevance"),
-    ).filter(F.col("relevance") > min_relevance)
-    return scored.orderBy(F.desc("relevance"), F.col(id_col)).limit(k)
+        mention_count(F.col(text_col), query_terms).alias("__m"),
+        token_count_ws(F.col(text_col)).alias("__n"),
+    )
+    scored = parts.select(
+        F.col(id_col),
+        F.round(
+            F.when(
+                F.col("__n") > 0,
+                F.col("__m").cast("double") * 10.0 / F.col("__n").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("relevance"),
+    )
+    return (
+        scored.orderBy(F.desc("relevance"), F.col(id_col))
+        .limit(k)
+        .filter(F.col("relevance") > min_relevance)
+    )
 
 
 def bm25_topk(
