@@ -102,18 +102,38 @@ def refilter_outcomes(
     row that is refiltered and/or deleted. This is the oracle surface the
     gated `refilter_pipeline` query exposes; `refilter_job` is the same
     composition with store sinks."""
+    from commoncrawlscalatools_spark.cachehooks import own_caches
+    from commoncrawlscalatools_spark.spread import spread
+
     config = config or FL.TopicFilterConfig()
     new_cats = legacy_category_string(F.col(text_col), config)
-    old = FL.decode_category_string(F.col(old_categories_col))
-    deleted = F.arrays_overlap(old, F.lit(list(delete_categories)))
-    return (
-        src.select(
-            F.col(id_col),
-            new_cats.alias("new_categories"),
-            new_cats.isNotNull().alias("refiltered"),
-            deleted.alias("deleted_from_source"),
-        )
-        .filter(F.col("refiltered") | F.col("deleted_from_source"))
+    # r7 shape: the recomputed category string is a ~|keywords|-regex
+    # battery per row. The r6 single projection referenced it TWICE
+    # (value + isNotNull) and the outcome filter's pushdown substituted
+    # it a third time — all on the unsplit source scan partition. Now:
+    # spread the scan, materialize the battery ONCE per row behind a
+    # projection, and persist the narrow outcome surface before the
+    # filter (the cache is the pushdown barrier; without it the
+    # substituted predicate lands below the spread exchange on the
+    # single-partition scan side). At store scale this surface is the
+    # outcome table the job writes anyway.
+    base = spread(src.select(id_col, text_col, old_categories_col), id_col)
+    step = base.select(
+        F.col(id_col),
+        new_cats.alias("new_categories"),
+        FL.decode_category_string(F.col(old_categories_col)).alias("__old"),
+    )
+    out = step.select(
+        F.col(id_col),
+        F.col("new_categories"),
+        F.col("new_categories").isNotNull().alias("refiltered"),
+        F.arrays_overlap(
+            F.col("__old"), F.lit(list(delete_categories))
+        ).alias("deleted_from_source"),
+    ).persist()
+    return own_caches(
+        out.filter(F.col("refiltered") | F.col("deleted_from_source")),
+        cached=(out,),
     )
 
 
