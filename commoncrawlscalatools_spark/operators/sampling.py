@@ -186,6 +186,24 @@ def pack_sequences(
     # per-bucket sums, the final cumsum window). The input may be a whole
     # upstream pipeline (plans/training.py) — persist the narrow
     # (id, tok) projection (16 B/row) so upstream runs ONCE, not 3×.
+    # Guard (ADVICE r6 #3): the id is cast to long for range-bucketing;
+    # a non-numeric id type (e.g. the engine's string doc ids) would cast
+    # to NULL and silently pack an EMPTY result for a non-empty corpus.
+    # Fail loudly instead — callers with string ids must derive a
+    # monotone numeric key first.
+    from pyspark.sql import types as T
+
+    id_type = df.schema[id_col].dataType
+    numeric = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.DecimalType,
+    )
+    if not isinstance(id_type, numeric):
+        raise TypeError(
+            f"pack_sequences requires a numeric {id_col!r} (got "
+            f"{id_type.simpleString()}): a lossy cast would silently drop "
+            "every row — derive a monotone numeric key first"
+        )
     base = (
         df.select(
             F.col(id_col).cast("long").alias("_id"),

@@ -136,7 +136,11 @@ class CrawlConfig:
     # MUST set this False: the engine then pins the round's documents with
     # an eager localCheckpoint, so a lost block FAILS the round (lineage
     # truncated) instead of letting the written table and the feedback
-    # chain diverge.
+    # chain diverge. Residual window (ADVICE r6 #4): the pin happens right
+    # AFTER the first materialization — a cached block lost between
+    # docs.count() and the eager checkpoint is still recomputed by the
+    # non-deterministic fetcher and then pinned; the fail-instead-of-
+    # diverge guarantee holds only once pinning completes.
     fetch_deterministic: bool = True
 
 

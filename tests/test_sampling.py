@@ -304,3 +304,18 @@ def test_mixture_plan_deterministic_under_partitioning(spark):
                                 {"en": 0.6, "es": 0.4}, 5_000).collect())
     )
     assert a == b
+
+
+def test_pack_sequences_rejects_non_numeric_ids(spark):
+    """ADVICE r6 #3: a string id would cast to NULL and silently pack an
+    empty result — the operator must raise instead."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from commoncrawlscalatools_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [("urn:doc:a", 10), ("urn:doc:b", 20)], ["doc_id", "n_tok"]
+    )
+    with pytest.raises(TypeError, match="numeric"):
+        pack_sequences(df, "doc_id", F.col("n_tok"), budget=16, n_buckets=4)
